@@ -1,0 +1,21 @@
+"""Test configuration: run everything on CPU in float64 with a virtual 8-device mesh.
+
+Parity/oracle tests require float64 (the reference validates against scipy at 1e-7
+tolerance); TPU throughput uses float32 — the tolerance ladder is validated on CPU.
+Multi-chip sharding is exercised on 8 virtual CPU devices, mirroring how the driver
+dry-runs the multi-chip path.
+"""
+
+import os
+
+# Force-set: the harness presets JAX_PLATFORMS to the TPU plugin; tests must run on
+# the host CPU (float64 + virtual multi-device mesh).
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
