@@ -1,0 +1,126 @@
+"""Engine options: typed, nested, TOML-serializable configuration.
+
+Mirrors the option surface of the reference engine (`core/include/jiminy/core/engine/
+engine.h:260-340` — contacts, world, stepper, telemetry groups) as frozen dataclasses.
+Static fields (enums, periods, iteration counts) shape the compiled program; float
+fields that make sense to sweep per-env live in array-typed options on the robot side.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Any, Callable, Optional, Tuple
+
+
+class ContactModel(enum.Enum):
+    SPRING_DAMPER = "spring_damper"
+    CONSTRAINT = "constraint"
+
+
+class IntegratorType(enum.Enum):
+    EULER_EXPLICIT = "euler_explicit"
+    RUNGE_KUTTA_4 = "runge_kutta_4"
+    RUNGE_KUTTA_DOPRI = "runge_kutta_dopri"
+
+
+@dataclasses.dataclass(frozen=True)
+class ContactOptions:
+    """Ground reaction model (reference defaults: `engine.h:260-306`)."""
+
+    model: ContactModel = ContactModel.SPRING_DAMPER
+    stiffness: float = 1.0e6
+    damping: float = 2.0e3
+    friction: float = 1.0
+    torsion: float = 0.0
+    transition_eps: float = 1.0e-3       # [m] blending depth / constraint hysteresis
+    transition_velocity: float = 1.0e-2  # [m/s] tangential regularization speed
+    stabilization_freq: float = 20.0     # [Hz] Baumgarte frequency (constraint mode)
+
+
+@dataclasses.dataclass(frozen=True)
+class WorldOptions:
+    """Gravity and ground profile. `ground_profile(xy)->(height, normal)` is a
+    jittable callable resolved at trace time (the reference's `HeightmapFunction`)."""
+
+    gravity: Tuple[float, float, float] = (0.0, 0.0, -9.81)
+    ground_profile: Optional[Callable[..., Any]] = None  # None = flat ground z=0
+
+
+@dataclasses.dataclass(frozen=True)
+class StepperOptions:
+    """Integrator configuration (reference defaults `engine.h:313-340`).
+
+    TPU adaptation: instead of an event-driven adaptive loop, integration over one
+    update period runs in masked lock-step — DOPRI carries a per-env dt and failure
+    mask inside a bounded `lax.while_loop`; fixed-step integrators use a static
+    substep count `ceil(update_period / dt_max)`.
+    """
+
+    integrator: IntegratorType = IntegratorType.RUNGE_KUTTA_4
+    tol_abs: float = 1.0e-5
+    tol_rel: float = 1.0e-4
+    dt_max: float = 0.02
+    dt_init: float = 1.0e-3              # initial adaptive dt
+    dt_min: float = 1.0e-10              # clamp for adaptive dt (reference
+                                         # STEPPER_MIN_TIMESTEP, constants.h)
+    max_trials: int = 24                 # bound on adaptive retry loop per period
+    successive_iter_failed_max: int = 1000
+    # PGS constraint solver (reference `constraint_solvers.cc:15-21, 328-448`)
+    pgs_iter_max: int = 32
+    pgs_tol_abs: float = 1.0e-8
+    pgs_tol_rel: float = 1.0e-6
+    pgs_regularization: float = 1.0e-3
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineOptions:
+    contacts: ContactOptions = dataclasses.field(default_factory=ContactOptions)
+    world: WorldOptions = dataclasses.field(default_factory=WorldOptions)
+    stepper: StepperOptions = dataclasses.field(default_factory=StepperOptions)
+    # Discrete update period of controller command and sensor measurements [s].
+    # 0.0 means "continuous" in the reference; here the engine always advances by
+    # one update period per call (the caller picks the cadence), so this is the
+    # atomic step of `Engine.step`.
+    controller_update_period: float = 1.0e-3
+    sensor_update_period: float = 1.0e-3
+
+    def replace(self, **kw) -> "EngineOptions":
+        return dataclasses.replace(self, **kw)
+
+    # ---------------- TOML/JSON round trip (reference `Simulator.{export,import}_options`)
+    def to_dict(self) -> dict:
+        def conv(obj):
+            if dataclasses.is_dataclass(obj):
+                return {f.name: conv(getattr(obj, f.name)) for f in dataclasses.fields(obj)}
+            if isinstance(obj, enum.Enum):
+                return obj.value
+            if callable(obj):
+                return None
+            return obj
+
+        return conv(self)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "EngineOptions":
+        contacts = d.get("contacts", {})
+        if "model" in contacts:
+            contacts = dict(contacts, model=ContactModel(contacts["model"]))
+        stepper = d.get("stepper", {})
+        if "integrator" in stepper:
+            stepper = dict(stepper, integrator=IntegratorType(stepper["integrator"]))
+        world = dict(d.get("world", {}))
+        if "gravity" in world:
+            world["gravity"] = tuple(world["gravity"])
+        world.pop("ground_profile", None)
+        top = {
+            k: v
+            for k, v in d.items()
+            if k in ("controller_update_period", "sensor_update_period")
+        }
+        return cls(
+            contacts=ContactOptions(**contacts),
+            world=WorldOptions(**world),
+            stepper=StepperOptions(**stepper),
+            **top,
+        )

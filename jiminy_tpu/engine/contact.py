@@ -1,0 +1,116 @@
+"""Ground contact: heightmap query + spring-damper point-contact forces.
+
+Vectorized re-design of the reference's per-frame contact dispatch
+(`Engine::computeContactDynamicsAtFrame` / `computeContactDynamics`,
+`core/src/engine/engine.cc:3117-3238`): all contact frames are evaluated in one
+batched computation; contact activity is a mask, not an object toggle.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+
+from jiminy_tpu.engine.config import ContactOptions
+from jiminy_tpu.models.model import RobotModel
+from jiminy_tpu.ops import lie
+from jiminy_tpu.ops.kinematics import KinData, frame_placement, frame_velocity_local
+
+
+def flat_ground(xy: jnp.ndarray):
+    """Default ground profile: z = 0, normal +z."""
+    h = jnp.zeros(xy.shape[:-1], xy.dtype)
+    n = jnp.zeros(xy.shape[:-1] + (3,), xy.dtype).at[..., 2].set(1.0)
+    return h, n
+
+
+def spring_damper_force_world(
+    opts: ContactOptions,
+    normal: jnp.ndarray,  # (..., 3) unit ground normal
+    depth: jnp.ndarray,  # (...,) signed, negative = penetrating
+    v_contact: jnp.ndarray,  # (..., 3) contact point velocity, world axes
+) -> jnp.ndarray:
+    """Reference formula (`engine.cc:3197-3238`): normal Kelvin–Voigt force,
+    saturated viscous friction with transition velocity, tanh depth blending."""
+    v_depth = jnp.sum(v_contact * normal, axis=-1)
+    f_normal = -jnp.minimum(opts.stiffness * depth + opts.damping * v_depth, 0.0)
+    f = f_normal[..., None] * normal
+    v_tang = v_contact - v_depth[..., None] * normal
+    v_norm = jnp.linalg.norm(v_tang, axis=-1)
+    v_ratio = jnp.minimum(v_norm / opts.transition_velocity, 1.0)
+    f = f - (opts.friction * v_ratio * f_normal / jnp.maximum(v_norm, 1e-12))[..., None] * v_tang
+    if opts.transition_eps > 1e-12:
+        blend = jnp.tanh(2.0 * (-depth) / opts.transition_eps)
+        f = f * blend[..., None]
+    return jnp.where((depth < 0.0)[..., None], f, jnp.zeros_like(f))
+
+
+def compute_contact_forces(
+    model: RobotModel,
+    opts: ContactOptions,
+    ground_fn: Optional[Callable],
+    kin: KinData,
+    contact_frame_indices: tuple,
+):
+    """Spring-damper ground forces at every contact frame.
+
+    Returns:
+      fext:   (..., nj, 6) per-joint LOCAL spatial wrenches (ang, lin)
+      f_world:(..., nc, 3) linear force at each contact point, world axes
+      w_local:(..., nc, 6) spatial wrench in the LOCAL contact frame (ang, lin)
+      depth:  (..., nc)    signed gap
+    """
+    if ground_fn is None:
+        ground_fn = flat_ground
+    batch = kin.vel.shape[:-2]
+    dtype = kin.vel.dtype
+    nj = model.njoints
+    nc = len(contact_frame_indices)
+    fext = jnp.zeros(batch + (nj, 6), dtype)
+    if nc == 0:
+        return (
+            fext,
+            jnp.zeros(batch + (0, 3), dtype),
+            jnp.zeros(batch + (0, 6), dtype),
+            jnp.zeros(batch + (0,), dtype),
+        )
+
+    f_world_list, w_local_list, depth_list = [], [], []
+    for fidx in contact_frame_indices:
+        fpl = frame_placement(model, kin, fidx)
+        pos = fpl.pos
+        v_local = frame_velocity_local(model, kin, fidx)
+        v_world = lie.mv(fpl.rot, v_local[..., 3:])
+        h, n = ground_fn(pos[..., :2])
+        n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+        # First-order gap projection (reference engine.cc:3140)
+        depth = (pos[..., 2] - h) * n[..., 2]
+        f_w = spring_damper_force_world(opts, n, depth, v_world)
+
+        # LOCAL contact-frame wrench (for ContactSensor)
+        f_local = lie.mv(jnp.swapaxes(fpl.rot, -1, -2), f_w)
+        w_local = jnp.concatenate([jnp.zeros_like(f_local), f_local], axis=-1)
+
+        # Transport to the parent joint origin, LOCAL joint frame (reference
+        # `convertForceGlobalFrameToJoint`)
+        parent = model.frame_parents[fidx]
+        rot_j = kin.omi.rot[..., parent, :, :]
+        pos_j = kin.omi.pos[..., parent, :]
+        lever = pos - pos_j
+        tau_w = jnp.cross(lever, f_w)
+        f_j = lie.mv(jnp.swapaxes(rot_j, -1, -2), f_w)
+        n_j = lie.mv(jnp.swapaxes(rot_j, -1, -2), tau_w)
+        fext = fext.at[..., parent, 0:3].add(n_j)
+        fext = fext.at[..., parent, 3:6].add(f_j)
+
+        f_world_list.append(f_w)
+        w_local_list.append(w_local)
+        depth_list.append(depth)
+
+    return (
+        fext,
+        jnp.stack(f_world_list, axis=-2),
+        jnp.stack(w_local_list, axis=-2),
+        jnp.stack(depth_list, axis=-1),
+    )

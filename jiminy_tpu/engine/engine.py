@@ -1,0 +1,328 @@
+"""The simulation engine: one pure function over a `SimState` pytree.
+
+Functional re-design of the reference `Engine` (`core/src/engine/engine.cc`):
+
+- `Engine.reset(q, v, key)`  — build the initial state (reference `Engine::start`,
+  `engine.cc:952-1533`, minus telemetry which lives in `jiminy_tpu.telemetry`).
+- `Engine.step(state, command)` — advance exactly one controller update period
+  (reference `Engine::step`, `engine.cc:1724-2417`): integrate the continuous
+  dynamics over each sensor period (fixed substeps or masked-adaptive DOPRI),
+  then refresh sensor measurements.  Commands are zero-order-held, exactly like
+  the reference's discrete controller updates.
+- `Engine.simulate(state, n, policy)` — `lax.scan` of `step` (reference
+  `Engine::simulate`).
+
+Everything is jit-able and vmap-able; batching = `jax.vmap(engine.step)`.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from jiminy_tpu.engine import contact as contact_mod
+from jiminy_tpu.engine import internal as internal_mod
+from jiminy_tpu.engine import steppers
+from jiminy_tpu.engine.config import ContactModel, EngineOptions, IntegratorType
+from jiminy_tpu.engine.robot import Robot
+from jiminy_tpu.engine.state import SimState, StepperState
+from jiminy_tpu.ops import dynamics as dyn
+from jiminy_tpu.ops import integrate as integ
+from jiminy_tpu.ops.kinematics import forward_kinematics
+
+
+class Engine:
+    """Single-robot engine facade holding static configuration.
+
+    Multi-robot simulation = one engine per robot under a shared outer loop, or a
+    merged model (coupling forces land in `external_forces`); see
+    `jiminy_tpu.engine.coupling`.
+    """
+
+    def __init__(self, robot: Robot, options: Optional[EngineOptions] = None):
+        self.robot = robot
+        self.options = options or EngineOptions()
+        self.dtype = robot.model.dtype
+        self.gravity = jnp.asarray(self.options.world.gravity, self.dtype)
+        opts = self.options
+        self.sensor_period = opts.sensor_update_period or opts.controller_update_period
+        self.control_period = opts.controller_update_period or self.sensor_period
+        if self.control_period <= 0:
+            raise ValueError("controller_update_period must be > 0")
+        ratio = self.control_period / self.sensor_period
+        self.n_sensor_periods = max(int(round(ratio)), 1)
+        if abs(ratio - self.n_sensor_periods) > 1e-9:
+            raise ValueError("controller period must be a multiple of sensor period")
+        self.n_substeps = max(int(math.ceil(self.sensor_period / opts.stepper.dt_max - 1e-12)), 1)
+        self.ground_fn = opts.world.ground_profile
+        # Optional user forces: f(t, q, v) -> (..., nj, 6) LOCAL joint wrenches
+        self.external_force_fn: Optional[Callable] = None
+        # Optional internal controller: u(t, q, v, measurements) -> command,
+        # applied when `step` is called without an explicit command.
+        self.controller: Optional[Callable] = None
+        # Static per-group noise flags (resolved at build; avoids tracing hazards)
+        import numpy as _np
+
+        self._group_has_noise = {}
+        for name, g in robot.sensors.groups():
+            try:
+                self._group_has_noise[name] = bool(_np.any(_np.asarray(g.noise_std) != 0.0))
+            except Exception:
+                self._group_has_noise[name] = True
+
+    # ------------------------------------------------------------------ #
+    # Continuous dynamics
+    # ------------------------------------------------------------------ #
+    def dynamics_full(self, t, q, v, command):
+        """Full dynamics evaluation (reference `Engine::computeRobotsDynamics`,
+        `engine.cc:3585-3708`).  Returns (a, aux)."""
+        robot = self.robot
+        model = robot.model
+        kin = forward_kinematics(model, q, v)
+
+        fext, f_world, w_local, depth = contact_mod.compute_contact_forces(
+            model, self.options.contacts, self.ground_fn, kin, robot.contact_frame_indices
+        )
+        if self.external_force_fn is not None:
+            fext = fext + self.external_force_fn(t, q, v)
+
+        u = internal_mod.flexibility_torque(robot, q, v)
+        if self.options.contacts.model == ContactModel.SPRING_DAMPER:
+            u = u + internal_mod.position_bounds_torque(robot, q, v)
+
+        if robot.motors is not None and robot.motors.nmotors:
+            u_motor, u_full = robot.motors.compute_efforts(command, v)
+            u = u + u_full
+        else:
+            u_motor = jnp.zeros(q.shape[:-1] + (0,), q.dtype)
+
+        a = dyn.aba(model, self.gravity, q, v, u, fext)
+        aux = {
+            "u_motor": u_motor,
+            "contact_f_world": f_world,
+            "contact_w_local": w_local,
+            "contact_depth": depth,
+        }
+        return a, aux
+
+    def _accel_fn(self, command) -> Callable:
+        return lambda t, q, v: self.dynamics_full(t, q, v, command)[0]
+
+    # ------------------------------------------------------------------ #
+    # State construction
+    # ------------------------------------------------------------------ #
+    def reset(self, q0, v0=None, key=None) -> SimState:
+        """Initial consistent state (reference `Engine::start` fixed-point init)."""
+        model = self.robot.model
+        q0 = jnp.asarray(q0, self.dtype)
+        v0 = jnp.zeros((model.nv,), self.dtype) if v0 is None else jnp.asarray(v0, self.dtype)
+        q0 = integ.normalize(model, q0)
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        nm = self.robot.nmotors
+        command = jnp.zeros((nm,), self.dtype)
+        a0, aux = self.dynamics_full(jnp.asarray(0.0, self.dtype), q0, v0, command)
+        nc = len(self.robot.contact_frame_indices)
+        st = SimState(
+            t=jnp.asarray(0.0, self.dtype),
+            q=q0,
+            v=v0,
+            a=a0,
+            command=command,
+            u_motor=aux["u_motor"],
+            contact_forces=aux["contact_f_world"],
+            stepper=StepperState(
+                dt=jnp.asarray(
+                    min(self.options.stepper.dt_init, self.options.stepper.dt_max), self.dtype
+                ),
+                iterations=jnp.asarray(0, jnp.int32),
+                iter_failed=jnp.asarray(0, jnp.int32),
+                successive_iter_failed=jnp.asarray(0, jnp.int32),
+                diverged=jnp.asarray(False),
+            ),
+            sensor_rings=self.robot.sensors.init_rings(self.sensor_period, self.dtype),
+            measurements={},
+            key=key,
+        )
+        # Prime sensors at t=0 so the first observation is valid
+        st = self._update_sensors(st, a0, aux)
+        return st
+
+    # ------------------------------------------------------------------ #
+    # Sensors
+    # ------------------------------------------------------------------ #
+    def _update_sensors(self, state: SimState, a, aux) -> SimState:
+        robot = self.robot
+        suite = robot.sensors
+        groups = list(suite.groups())
+        if not groups:
+            return state.replace(measurements={})
+        kin = forward_kinematics(robot.model, state.q, state.v, a)
+        contact_f = {
+            "gravity": self.gravity,
+            "contact_forces_local": aux["contact_w_local"][..., 3:6],
+            "contact_wrench_local": aux["contact_w_local"],
+            "contact_frame_indices": robot.contact_frame_indices,
+        }
+        rings = dict(state.sensor_rings)
+        meas = {}
+        key = state.key
+        for name, g in groups:
+            raw = g.compute_raw(
+                robot.model, kin, state.q, state.v, a, aux["u_motor"], contact_f
+            )
+            ring = rings[name].push(state.t, raw)
+            rings[name] = ring
+            key, sub = jax.random.split(key)
+            noisy = self._group_has_noise.get(name, True)
+            meas[name] = g.measure(ring, state.t, sub if noisy else None)
+        return state.replace(sensor_rings=rings, measurements=meas, key=key)
+
+    # ------------------------------------------------------------------ #
+    # Integration over one sensor period
+    # ------------------------------------------------------------------ #
+    def _integrate_period(self, state: SimState, command) -> tuple:
+        """Advance (q, v) by one sensor period; returns (state', a, aux)."""
+        opts = self.options.stepper
+        model = self.robot.model
+        f = self._accel_fn(command)
+        period = jnp.asarray(self.sensor_period, self.dtype)
+
+        if opts.integrator == IntegratorType.EULER_EXPLICIT:
+            dt = period / self.n_substeps
+
+            def body(carry, _):
+                t, q, v = carry
+                q, v, a = steppers.euler_step(model, f, t, q, v, dt)
+                return (t + dt, q, v), None
+
+            (t_end, q, v), _ = jax.lax.scan(
+                body, (state.t, state.q, state.v), None, length=self.n_substeps
+            )
+            a, aux = self.dynamics_full(t_end, q, v, command)
+            new_stepper = state.stepper.replace(
+                iterations=state.stepper.iterations + self.n_substeps
+            )
+            return state.replace(q=integ.normalize(model, q), v=v), a, aux, new_stepper
+
+        if opts.integrator == IntegratorType.RUNGE_KUTTA_4:
+            dt = period / self.n_substeps
+
+            def body(carry, _):
+                t, q, v = carry
+                q, v, a = steppers.rk4_step(model, f, t, q, v, dt)
+                return (t + dt, q, v), None
+
+            (t_end, q, v), _ = jax.lax.scan(
+                body, (state.t, state.q, state.v), None, length=self.n_substeps
+            )
+            a, aux = self.dynamics_full(t_end, q, v, command)
+            new_stepper = state.stepper.replace(
+                iterations=state.stepper.iterations + self.n_substeps
+            )
+            return state.replace(q=integ.normalize(model, q), v=v), a, aux, new_stepper
+
+        # ---------------- adaptive DOPRI 5(4), masked lock-step ----------------
+        a0 = f(state.t, state.q, state.v)
+        eps = jnp.asarray(1e-12, self.dtype)
+
+        def cond(c):
+            return (c["t_local"] < period - eps) & (~c["diverged"]) & (c["trials"] < 100000)
+
+        def body(c):
+            remaining = period - c["t_local"]
+            dt_try = jnp.minimum(c["dt_pref"], remaining)
+            q5, v5, err_vec, mag, a_last = steppers.dopri_trial(
+                model, f, state.t + c["t_local"], c["q"], c["v"], c["a"], dt_try
+            )
+            err = steppers.dopri_error_norm(err_vec, mag, opts.tol_abs, opts.tol_rel)
+            err = jnp.where(jnp.isnan(err), jnp.asarray(jnp.inf, err.dtype), err)
+            ok, dt_new = steppers.dopri_adjust(dt_try, err, opts.dt_min, opts.dt_max)
+            clamped = dt_try < c["dt_pref"]
+            # On success keep the preferred dt unless the trial dt was the
+            # preferred one (mirror of the reference's dtLargest bookkeeping)
+            dt_pref = jnp.where(
+                ok,
+                jnp.where(clamped, c["dt_pref"], dt_new),
+                dt_new,
+            )
+            succ_failed = jnp.where(ok, 0, c["succ_failed"] + 1)
+            diverged = succ_failed >= opts.successive_iter_failed_max
+            return {
+                "q": jnp.where(ok, q5, c["q"]),
+                "v": jnp.where(ok, v5, c["v"]),
+                "a": jnp.where(ok, a_last, c["a"]),
+                "t_local": jnp.where(ok, c["t_local"] + dt_try, c["t_local"]),
+                "dt_pref": dt_pref,
+                "iters": c["iters"] + ok.astype(jnp.int32),
+                "fails": c["fails"] + (~ok).astype(jnp.int32),
+                "succ_failed": succ_failed,
+                "diverged": diverged,
+                "trials": c["trials"] + 1,
+            }
+
+        init = {
+            "q": state.q,
+            "v": state.v,
+            "a": a0,
+            "t_local": jnp.asarray(0.0, self.dtype),
+            "dt_pref": state.stepper.dt,
+            "iters": state.stepper.iterations,
+            "fails": state.stepper.iter_failed,
+            "succ_failed": state.stepper.successive_iter_failed,
+            "diverged": state.stepper.diverged,
+            "trials": jnp.asarray(0, jnp.int32),
+        }
+        c = jax.lax.while_loop(cond, body, init)
+        q, v = integ.normalize(model, c["q"]), c["v"]
+        a, aux = self.dynamics_full(state.t + period, q, v, command)
+        new_stepper = StepperState(
+            dt=c["dt_pref"],
+            iterations=c["iters"],
+            iter_failed=c["fails"],
+            successive_iter_failed=c["succ_failed"],
+            diverged=c["diverged"],
+        )
+        return state.replace(q=q, v=v), a, aux, new_stepper
+
+    # ------------------------------------------------------------------ #
+    # Public stepping API
+    # ------------------------------------------------------------------ #
+    def step(self, state: SimState, command=None) -> SimState:
+        """Advance one controller period with zero-order-held motor command."""
+        if command is None:
+            if self.controller is not None:
+                command = self.controller(state.t, state.q, state.v, state.measurements)
+            else:
+                command = state.command
+        command = jnp.asarray(command, self.dtype)
+
+        def sensor_substep(st, _):
+            st2, a, aux, stepper = self._integrate_period(st, command)
+            st2 = st2.replace(
+                t=st.t + jnp.asarray(self.sensor_period, self.dtype),
+                stepper=stepper,
+                u_motor=aux["u_motor"],
+                contact_forces=aux["contact_f_world"],
+            )
+            st2 = self._update_sensors(st2, a, aux)
+            return st2.replace(a=a), None
+
+        state = state.replace(command=command)
+        state, _ = jax.lax.scan(sensor_substep, state, None, length=self.n_sensor_periods)
+        return state
+
+    def simulate(self, state: SimState, n_steps: int, policy: Optional[Callable] = None):
+        """Roll `n_steps` controller periods under `policy(state) -> command`
+        (defaults to holding `state.command`).  Returns (final_state, traj) where
+        traj stacks (t, q, v) per step."""
+
+        def body(st, _):
+            cmd = policy(st) if policy is not None else None
+            st = self.step(st, cmd)
+            return st, (st.t, st.q, st.v)
+
+        return jax.lax.scan(body, state, None, length=n_steps)

@@ -1,0 +1,355 @@
+"""Robot = model + hardware (motors, sensors) + contact frames + flexibility.
+
+Role-equivalent to the reference's `Robot` (`core/src/robot/robot.cc`) and the
+theoretical-vs-extended `Model` split (`core/src/robot/model.cc`): the *theoretical*
+model comes from the URDF; the *extended* model adds flexibility joints and folds
+motor armature (rotor inertia x reduction^2, `abstract_motor.cc:340`) onto the
+mass-matrix diagonal.  All of it resolves to static arrays at build time.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from jiminy_tpu.models import joints as jt
+from jiminy_tpu.models.model import RobotModel, build_model
+from jiminy_tpu.models.urdf import build_model_from_urdf
+from jiminy_tpu.engine.hardware import (
+    ContactSensorGroup,
+    EffortSensorGroup,
+    EncoderSensorGroup,
+    ForceSensorGroup,
+    ImuSensorGroup,
+    MotorBank,
+    SensorSuite,
+    _opt_arrays,
+    build_motor_bank,
+)
+from jiminy_tpu.ops import lie
+
+
+@struct.dataclass
+class FlexibilityConfig:
+    """Spherical spring-damper flexibility joints (reference
+    `model.cc:1087-1164` + internal dynamics `engine.cc:3340-3392`)."""
+
+    joint_indices: tuple = struct.field(pytree_node=False)  # spherical joints in extended model
+    stiffness: jnp.ndarray  # (nflex, 3)
+    damping: jnp.ndarray  # (nflex, 3)
+    inertia: jnp.ndarray  # (nflex, 3)
+
+
+@struct.dataclass
+class Robot:
+    name: str = struct.field(pytree_node=False)
+    model: RobotModel  # extended model (flexibility folded in)
+    theoretical_model: RobotModel = struct.field(pytree_node=True)
+    motors: Optional[MotorBank] = None
+    sensors: SensorSuite = struct.field(default_factory=SensorSuite)
+    contact_frame_indices: tuple = struct.field(pytree_node=False, default=())
+    flexibility: Optional[FlexibilityConfig] = None
+
+    @property
+    def nq(self):
+        return self.model.nq
+
+    @property
+    def nv(self):
+        return self.model.nv
+
+    @property
+    def nmotors(self):
+        return 0 if self.motors is None else self.motors.nmotors
+
+    @property
+    def has_freeflyer(self) -> bool:
+        return bool(self.model.joint_types) and (
+            jt.JointType(self.model.joint_types[0]) == jt.JointType.FREE
+        )
+
+    # ------------------------------------------------------------------ #
+    @staticmethod
+    def build(
+        model_or_urdf,
+        has_freeflyer: bool = False,
+        name: Optional[str] = None,
+        motors: Sequence[dict] = (),
+        sensors: Optional[dict] = None,
+        contact_frames: Sequence[str] = (),
+        flexibility: Sequence[dict] = (),
+        dtype=None,
+    ) -> "Robot":
+        """Assemble a robot.
+
+        - model_or_urdf: RobotModel, URDF path, or URDF XML string.
+        - motors: motor specs (see `build_motor_bank`).
+        - sensors: {"imu": [...], "encoder": [...], "effort": [...],
+          "contact": [...], "force": [...]} — spec dicts per type.
+        - contact_frames: frame names treated as ground contact points.
+        - flexibility: [{frame_name/joint_name, stiffness(3), damping(3), inertia(3)}]
+          inserted as spherical joints (extended model).
+        """
+        if isinstance(model_or_urdf, RobotModel):
+            theoretical = model_or_urdf
+        else:
+            theoretical = build_model_from_urdf(model_or_urdf, has_freeflyer, dtype=dtype)
+        name = name or theoretical.name
+        model = theoretical
+        flex_cfg = None
+        if flexibility:
+            model, flex_cfg = _add_flexibility_joints(theoretical, flexibility)
+        dtype = dtype or model.dtype
+
+        bank = build_motor_bank(model, motors, dtype=dtype) if motors else None
+        if bank is not None and bank.nmotors:
+            # Fold joint-side armature (rotor inertia * reduction^2) into the model
+            arm = np.asarray(model.armature).copy()
+            for i, vi in enumerate(bank.v_indices):
+                arm[vi] += float(np.asarray(bank.armature)[i]) * float(
+                    np.asarray(bank.mechanical_reduction)[i]
+                ) ** 2
+            model = model.replace(armature=jnp.asarray(arm, dtype=dtype))
+
+        contact_idx = tuple(model.frame_index(fn) for fn in contact_frames)
+        suite = _build_sensor_suite(model, bank, sensors or {}, contact_idx, dtype)
+        return Robot(
+            name=name,
+            model=model,
+            theoretical_model=theoretical,
+            motors=bank,
+            sensors=suite,
+            contact_frame_indices=contact_idx,
+            flexibility=flex_cfg,
+        )
+
+
+# --------------------------------------------------------------------------- #
+# Extended model surgery
+# --------------------------------------------------------------------------- #
+
+
+def _add_flexibility_joints(model: RobotModel, flex_specs) -> tuple[RobotModel, FlexibilityConfig]:
+    """Insert a spherical joint at each named joint (deformation *before* the joint),
+    mirroring `Model::addFlexibilityJointsToExtendedModel` (`model.cc:1087-1164`).
+
+    The flexibility joint takes over the child subtree: the original joint is
+    re-parented to the new spherical joint with identity placement, and the
+    flexibility point-inertia (3,) is attached to the spherical joint body.
+    """
+    # Rebuild joint spec list from the model arrays, inserting spherical joints.
+    specs: list[dict] = []
+    index_map: dict[int, int] = {-1: -1}
+    flex_entries = {s.get("joint_name") or s["frame_name"]: s for s in flex_specs}
+    flex_joint_positions: list[int] = []
+    stiff, damp, inert = [], [], []
+
+    for i in range(model.njoints):
+        spec = {
+            "name": model.joint_names[i],
+            "type": jt.JointType(model.joint_types[i]),
+            "parent": index_map[model.parents[i]],
+            "placement": (
+                np.asarray(model.jplacement_rot)[i],
+                np.asarray(model.jplacement_pos)[i],
+            ),
+            "axis": np.asarray(model.joint_axes)[i],
+            "mass": float(np.asarray(model.mass)[i]),
+            "com": np.asarray(model.com)[i],
+            "inertia": np.asarray(model.inertia)[i],
+            "armature": np.asarray(model.armature)[model.idx_v[i] : model.idx_v[i] + model.nv_of(i)],
+            "position_limit": (
+                np.asarray(model.position_limit_lower)[
+                    model.idx_q[i] : model.idx_q[i] + model.nq_of(i)
+                ],
+                np.asarray(model.position_limit_upper)[
+                    model.idx_q[i] : model.idx_q[i] + model.nq_of(i)
+                ],
+            ),
+            "velocity_limit": np.asarray(model.velocity_limit)[
+                model.idx_v[i] : model.idx_v[i] + model.nv_of(i)
+            ],
+            "effort_limit": np.asarray(model.effort_limit)[
+                model.idx_v[i] : model.idx_v[i] + model.nv_of(i)
+            ],
+        }
+        if model.joint_names[i] in flex_entries:
+            fs = flex_entries[model.joint_names[i]]
+            flex_joint_positions.append(len(specs))
+            stiff.append(np.broadcast_to(np.asarray(fs.get("stiffness", 0.0), float), (3,)))
+            damp.append(np.broadcast_to(np.asarray(fs.get("damping", 0.0), float), (3,)))
+            inert.append(np.broadcast_to(np.asarray(fs.get("inertia", 0.0), float), (3,)))
+            flex_inertia = np.diag(np.broadcast_to(np.asarray(fs.get("inertia", 0.0), float), (3,)))
+            specs.append(
+                {
+                    "name": model.joint_names[i] + "_flexibility",
+                    "type": jt.JointType.SPHERICAL,
+                    "parent": spec["parent"],
+                    "placement": spec["placement"],
+                    "axis": np.array([0.0, 0.0, 1.0]),
+                    "mass": 0.0,
+                    "com": np.zeros(3),
+                    "inertia": flex_inertia,
+                }
+            )
+            spec["parent"] = len(specs) - 1
+            spec["placement"] = (np.eye(3), np.zeros(3))
+        index_map[i] = len(specs)
+        specs.append(spec)
+
+    frame_specs = [
+        {
+            "name": model.frame_names[i],
+            "parent": index_map[model.frame_parents[i]],
+            "placement": (
+                np.asarray(model.fplacement_rot)[i],
+                np.asarray(model.fplacement_pos)[i],
+            ),
+        }
+        for i in range(model.nframes)
+    ]
+    new_model = build_model(model.name, specs, frame_specs, dtype=model.dtype)
+    cfg = FlexibilityConfig(
+        joint_indices=tuple(flex_joint_positions),
+        stiffness=jnp.asarray(np.array(stiff), model.dtype),
+        damping=jnp.asarray(np.array(damp), model.dtype),
+        inertia=jnp.asarray(np.array(inert), model.dtype),
+    )
+    return new_model, cfg
+
+
+# --------------------------------------------------------------------------- #
+# Sensor suite assembly
+# --------------------------------------------------------------------------- #
+
+
+def _build_sensor_suite(model, bank, sensor_specs, contact_idx, dtype) -> SensorSuite:
+    suite = {}
+
+    enc_specs = sensor_specs.get("encoder", ())
+    if enc_specs:
+        names, qidx, vidx, types, side, reds = [], [], [], [], [], []
+        for s in enc_specs:
+            if "motor_name" in s and bank is not None:
+                m = bank.names.index(s["motor_name"])
+                j = bank.joint_indices[m]
+                red = float(np.asarray(bank.mechanical_reduction)[m])
+                joint_side = bool(s.get("joint_side", False))
+            else:
+                j = model.joint_index(s["joint_name"])
+                red = 1.0
+                joint_side = True
+            names.append(s.get("name", model.joint_names[j]))
+            qidx.append(model.idx_q[j])
+            vidx.append(model.idx_v[j])
+            types.append(int(model.joint_types[j]))
+            side.append(joint_side)
+            reds.append(red)
+        noise, bias, delay, jitter, order = _opt_arrays(len(names), 2, enc_specs, dtype)
+        suite["encoder"] = EncoderSensorGroup(
+            names=tuple(names),
+            q_indices=tuple(qidx),
+            v_indices=tuple(vidx),
+            joint_types=tuple(types),
+            joint_side=tuple(side),
+            interp_order=order,
+            reduction=jnp.asarray(np.array(reds), dtype),
+            noise_std=noise,
+            bias=bias,
+            delay=delay,
+            jitter=jitter,
+        )
+
+    eff_specs = sensor_specs.get("effort", ())
+    if eff_specs:
+        names = [s.get("name", s["motor_name"]) for s in eff_specs]
+        midx = tuple(bank.names.index(s["motor_name"]) for s in eff_specs)
+        noise, bias, delay, jitter, order = _opt_arrays(len(names), 1, eff_specs, dtype)
+        suite["effort"] = EffortSensorGroup(
+            names=tuple(names),
+            motor_indices=midx,
+            interp_order=order,
+            noise_std=noise,
+            bias=bias,
+            delay=delay,
+            jitter=jitter,
+        )
+
+    imu_specs = sensor_specs.get("imu", ())
+    if imu_specs:
+        names = [s.get("name", s["frame_name"]) for s in imu_specs]
+        fidx = tuple(model.frame_index(s["frame_name"]) for s in imu_specs)
+        n = len(names)
+        noise = np.zeros((n, 6))
+        bias6 = np.zeros((n, 6))
+        rot_bias_inv = np.tile(np.eye(3), (n, 1, 1))
+        delay = np.zeros(n)
+        jitter = np.zeros(n)
+        order = 1
+        for i, s in enumerate(imu_specs):
+            noise[i] = np.broadcast_to(np.asarray(s.get("noise_std", 0.0), float), (6,))
+            b = np.asarray(s.get("bias", np.zeros(9)), float)
+            if b.size == 9:
+                rot_bias_inv[i] = np.asarray(lie.exp3_mat(jnp.asarray(-b[:3], jnp.float64)))
+                bias6[i] = b[3:]
+            else:
+                bias6[i] = np.broadcast_to(b, (6,))
+            delay[i] = float(s.get("delay", 0.0))
+            jitter[i] = float(s.get("jitter", 0.0))
+            order = int(s.get("delay_interpolation_order", order))
+        suite["imu"] = ImuSensorGroup(
+            names=tuple(names),
+            frame_indices=fidx,
+            interp_order=order,
+            rot_bias_inv=jnp.asarray(rot_bias_inv, dtype),
+            noise_std=jnp.asarray(noise, dtype),
+            bias=jnp.asarray(bias6, dtype),
+            delay=jnp.asarray(delay, dtype),
+            jitter=jnp.asarray(jitter, dtype),
+        )
+
+    con_specs = sensor_specs.get("contact", ())
+    if con_specs:
+        names = [s.get("name", s["frame_name"]) for s in con_specs]
+        slots = tuple(contact_idx.index(model.frame_index(s["frame_name"])) for s in con_specs)
+        noise, bias, delay, jitter, order = _opt_arrays(len(names), 3, con_specs, dtype)
+        suite["contact"] = ContactSensorGroup(
+            names=tuple(names),
+            contact_slots=slots,
+            interp_order=order,
+            noise_std=noise,
+            bias=bias,
+            delay=delay,
+            jitter=jitter,
+        )
+
+    frc_specs = sensor_specs.get("force", ())
+    if frc_specs:
+        names = [s.get("name", s["frame_name"]) for s in frc_specs]
+        fidx = tuple(model.frame_index(s["frame_name"]) for s in frc_specs)
+        slots = []
+        for f in fidx:
+            parent = model.frame_parents[f]
+            slots.append(
+                tuple(
+                    k
+                    for k, c in enumerate(contact_idx)
+                    if model.frame_parents[c] == parent
+                )
+            )
+        noise, bias, delay, jitter, order = _opt_arrays(len(names), 6, frc_specs, dtype)
+        suite["force"] = ForceSensorGroup(
+            names=tuple(names),
+            frame_indices=fidx,
+            contact_slots=tuple(slots),
+            interp_order=order,
+            noise_std=noise,
+            bias=bias,
+            delay=delay,
+            jitter=jitter,
+        )
+
+    return SensorSuite(**suite)

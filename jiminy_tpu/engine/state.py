@@ -1,0 +1,41 @@
+"""Simulation state pytrees.
+
+The whole mutable world of the reference engine (`RobotState`, `RobotData`,
+`StepperState` — `engine/engine.h:56-160`) becomes one immutable pytree of arrays,
+so a batch of simulations is just this pytree with a leading env axis.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax.numpy as jnp
+from flax import struct
+
+
+@struct.dataclass
+class StepperState:
+    """Adaptive-integrator bookkeeping (reference `stepper_state.{iter, iter_failed,
+    dt, t}` introspection surface, SURVEY §5)."""
+
+    dt: jnp.ndarray  # () current adaptive step size
+    iterations: jnp.ndarray  # () int32 accepted internal steps
+    iter_failed: jnp.ndarray  # () int32 rejected trial steps
+    successive_iter_failed: jnp.ndarray  # () int32
+    diverged: jnp.ndarray  # () bool — integration gave up (reference throws on
+    # successiveIterFailedMax; here the env is flagged and frozen instead)
+
+
+@struct.dataclass
+class SimState:
+    t: jnp.ndarray  # () simulation time
+    q: jnp.ndarray  # (nq,)
+    v: jnp.ndarray  # (nv,)
+    a: jnp.ndarray  # (nv,)
+    command: jnp.ndarray  # (nm,) motor-side commanded efforts (ZOH)
+    u_motor: jnp.ndarray  # (nm,) realized motor efforts
+    contact_forces: jnp.ndarray  # (ncontact, 3) linear ground forces, world axes
+    stepper: StepperState
+    sensor_rings: Dict[str, Any]
+    measurements: Dict[str, jnp.ndarray]  # sensor group -> (n, ndata)
+    key: jnp.ndarray  # PRNG key for sensor noise / randomization
