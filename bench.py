@@ -1,0 +1,63 @@
+"""Headline benchmark: batched ANYmal PD-control pipeline throughput on one chip.
+
+Matches the reference's own benchmark shape (`python/gym_jiminy/examples/
+pipeline_benchmark.py`: full PD pipeline, 40 ms env steps, 1 ms physics,
+measured in env-steps/s; reference single-core figure ≈ 3 650 steps/s) but
+batched: B envs stepped in lock-step under one jit on the TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+REFERENCE_STEPS_PER_SEC = 3650.0  # pipeline_benchmark.py:46 (1 env, 1 CPU core)
+
+
+def main():
+    batch = int(os.environ.get("BENCH_BATCH", "1024"))
+    n_steps = int(os.environ.get("BENCH_STEPS", "50"))
+
+    from jiminy_tpu.envs import make
+
+    env = make("anymal-pid")
+    keys = jax.random.split(jax.random.PRNGKey(0), batch)
+    reset = jax.jit(jax.vmap(env.reset))
+    state, obs = reset(keys)
+    jax.block_until_ready(state.sim.q)
+
+    actions = jnp.zeros((batch, env.action_size), state.sim.q.dtype)
+
+    def step_all(state):
+        state, obs, reward, term, trunc, _ = jax.vmap(env.step)(state, actions)
+        return state
+
+    step = jax.jit(step_all, donate_argnums=0)
+    # Warm-up/compile
+    state = step(state)
+    jax.block_until_ready(state.sim.q)
+
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state = step(state)
+    jax.block_until_ready(state.sim.q)
+    elapsed = time.perf_counter() - t0
+
+    steps_per_sec = batch * n_steps / elapsed
+    result = {
+        "metric": "env_steps_per_sec_per_chip_anymal_pd",
+        "value": round(steps_per_sec, 1),
+        "unit": "env-steps/s",
+        "vs_baseline": round(steps_per_sec / REFERENCE_STEPS_PER_SEC, 2),
+    }
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    main()

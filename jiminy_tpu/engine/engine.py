@@ -27,11 +27,18 @@ from jiminy_tpu.engine import contact as contact_mod
 from jiminy_tpu.engine import internal as internal_mod
 from jiminy_tpu.engine import steppers
 from jiminy_tpu.engine.config import ContactModel, EngineOptions, IntegratorType
+from jiminy_tpu.engine.constraints import (
+    build_constraint_set,
+    compute_constraint_system,
+    compute_distance_refs,
+)
 from jiminy_tpu.engine.robot import Robot
+from jiminy_tpu.engine.solver import constrained_forward_dynamics
 from jiminy_tpu.engine.state import SimState, StepperState
 from jiminy_tpu.ops import dynamics as dyn
 from jiminy_tpu.ops import integrate as integ
-from jiminy_tpu.ops.kinematics import forward_kinematics
+from jiminy_tpu.ops import lie
+from jiminy_tpu.ops.kinematics import forward_kinematics, joint_space_jacobian
 
 
 class Engine:
@@ -72,44 +79,163 @@ class Engine:
                 self._group_has_noise[name] = bool(_np.any(_np.asarray(g.noise_std) != 0.0))
             except Exception:
                 self._group_has_noise[name] = True
+        # Constraint registry: in CONSTRAINT contact mode all registries are
+        # active; in SPRING_DAMPER mode only loop closures go through the solver
+        # (the reference routes USER constraints through PGS in both modes).
+        self.constraint_mode = self.options.contacts.model == ContactModel.CONSTRAINT
+        # Joint bounds and loop closures ALWAYS go through the PGS solver (the
+        # reference enforces bounds via `JointConstraint` in both contact modes,
+        # `engine.cc:3268-3338`); contact rows only in CONSTRAINT mode.
+        self.cset = build_constraint_set(
+            robot, loop_pairs=robot.loop_pairs, include_contacts=self.constraint_mode
+        )
+        self.has_constraints = self.cset.total_rows > 0
 
     # ------------------------------------------------------------------ #
     # Continuous dynamics
     # ------------------------------------------------------------------ #
-    def dynamics_full(self, t, q, v, command):
+    def dynamics_full(self, t, q, v, command, carry=None):
         """Full dynamics evaluation (reference `Engine::computeRobotsDynamics`,
-        `engine.cc:3585-3708`).  Returns (a, aux)."""
+        `engine.cc:3585-3708`).  Returns (a, aux).
+
+        `carry` holds constraint activity/warm-start from the period start
+        (contact_active, bound_active, lam, distance_ref); None = all inactive.
+        """
         robot = self.robot
         model = robot.model
-        kin = forward_kinematics(model, q, v)
+        nc = len(robot.contact_frame_indices)
+        batch = q.shape[:-1]
 
-        fext, f_world, w_local, depth = contact_mod.compute_contact_forces(
-            model, self.options.contacts, self.ground_fn, kin, robot.contact_frame_indices
+        # FK with zero acceleration: `acc` leaves are the velocity-bias terms used
+        # by constraint drifts (reference model.cc:1253-1268); positions and
+        # velocities serve contacts either way.
+        zero_a = jnp.zeros(batch + (model.nv,), q.dtype)
+        kin = forward_kinematics(model, q, v, zero_a)
+
+        fext_user = (
+            self.external_force_fn(t, q, v) if self.external_force_fn is not None else None
         )
-        if self.external_force_fn is not None:
-            fext = fext + self.external_force_fn(t, q, v)
 
         u = internal_mod.flexibility_torque(robot, q, v)
-        if self.options.contacts.model == ContactModel.SPRING_DAMPER:
-            u = u + internal_mod.position_bounds_torque(robot, q, v)
 
         if robot.motors is not None and robot.motors.nmotors:
             u_motor, u_full = robot.motors.compute_efforts(command, v)
             u = u + u_full
         else:
-            u_motor = jnp.zeros(q.shape[:-1] + (0,), q.dtype)
+            u_motor = jnp.zeros(batch + (0,), q.dtype)
 
-        a = dyn.aba(model, self.gravity, q, v, u, fext)
-        aux = {
+        if not self.constraint_mode:
+            fext, f_world, w_local, depth = contact_mod.compute_contact_forces(
+                model, self.options.contacts, self.ground_fn, kin,
+                robot.contact_frame_indices,
+            )
+            if fext_user is not None:
+                fext = fext + fext_user
+            if self.has_constraints:  # joint bounds + loop closures
+                csys, a, lam = self._constrained_accel(t, q, v, u, fext, kin, carry)
+                aux_c = {
+                    "lam": lam,
+                    "contact_active": csys.contact_active,
+                    "bound_active": csys.bound_active,
+                }
+            else:
+                a = dyn.aba(model, self.gravity, q, v, u, fext)
+                aux_c = {}
+            return a, {
+                "u_motor": u_motor,
+                "contact_f_world": f_world,
+                "contact_w_local": w_local,
+                "contact_depth": depth,
+                **aux_c,
+            }
+
+        # ---------------- constraint contact mode ----------------
+        fext = fext_user
+        csys, a, lam = self._constrained_accel(t, q, v, u, fext, kin, carry)
+        # Extract reported contact forces from multipliers: world force in the
+        # normal basis (reference engine.cc:3770-3857 write-back)
+        off_b, off_c, _ = self.cset.row_offsets()
+        if nc:
+            lam_c = lam[..., off_c : off_c + 4 * nc]
+            lam_blocks = lam_c.reshape(lam_c.shape[:-1] + (nc, 4))
+            f_world = lie.mv(csys.contact_basis, lam_blocks[..., 0:3])
+            tau_n_world = csys.contact_basis[..., :, 2] * lam_blocks[..., 3:4]
+            # LOCAL contact-frame wrench for sensors
+            w_local_list = []
+            for k, fidx in enumerate(robot.contact_frame_indices):
+                from jiminy_tpu.ops.kinematics import frame_placement
+
+                rot = frame_placement(model, kin, fidx).rot
+                f_l = lie.mv(jnp.swapaxes(rot, -1, -2), f_world[..., k, :])
+                n_l = lie.mv(jnp.swapaxes(rot, -1, -2), tau_n_world[..., k, :])
+                w_local_list.append(jnp.concatenate([n_l, f_l], axis=-1))
+            w_local = jnp.stack(w_local_list, axis=-2)
+        else:
+            f_world = jnp.zeros(batch + (0, 3), q.dtype)
+            w_local = jnp.zeros(batch + (0, 6), q.dtype)
+        return a, {
             "u_motor": u_motor,
             "contact_f_world": f_world,
             "contact_w_local": w_local,
-            "contact_depth": depth,
+            "contact_depth": csys.contact_depth,
+            "lam": lam,
+            "contact_active": csys.contact_active,
+            "bound_active": csys.bound_active,
         }
-        return a, aux
 
-    def _accel_fn(self, command) -> Callable:
-        return lambda t, q, v: self.dynamics_full(t, q, v, command)[0]
+    def _constrained_accel(self, t, q, v, u, fext, kin, carry):
+        """PGS-constrained forward dynamics path."""
+        model = self.robot.model
+        batch = q.shape[:-1]
+        cset = self.cset
+        if carry is None:
+            carry = {
+                "contact_active": jnp.zeros(batch + (cset.n_contacts,), bool),
+                "bound_active": jnp.zeros(batch + (cset.n_bounds,), bool),
+                "lam": jnp.zeros(batch + (cset.total_rows,), q.dtype),
+                "distance_ref": jnp.zeros(batch + (cset.n_distance,), q.dtype),
+            }
+        jac_world = joint_space_jacobian(model, kin)
+        csys = compute_constraint_system(
+            model,
+            cset,
+            self.options.contacts,
+            self.ground_fn,
+            kin,
+            jac_world,
+            q,
+            v,
+            carry["contact_active"],
+            carry["bound_active"],
+            distance_ref=carry["distance_ref"],
+        )
+        res = constrained_forward_dynamics(
+            model,
+            self.gravity,
+            q,
+            v,
+            u,
+            fext,
+            csys,
+            cset,
+            carry["lam"],
+            self.options.contacts.friction,
+            self.options.contacts.torsion,
+            self.options.stepper.pgs_regularization,
+            self.options.stepper.pgs_iter_max,
+        )
+        return csys, res.qdd, res.lam
+
+    def _accel_fn(self, command, carry=None) -> Callable:
+        return lambda t, q, v: self.dynamics_full(t, q, v, command, carry)[0]
+
+    def _carry_of(self, state: SimState) -> dict:
+        return {
+            "contact_active": state.contact_active,
+            "bound_active": state.bound_active,
+            "lam": state.lam,
+            "distance_ref": state.distance_ref,
+        }
 
     # ------------------------------------------------------------------ #
     # State construction
@@ -124,7 +250,19 @@ class Engine:
             key = jax.random.PRNGKey(0)
         nm = self.robot.nmotors
         command = jnp.zeros((nm,), self.dtype)
-        a0, aux = self.dynamics_full(jnp.asarray(0.0, self.dtype), q0, v0, command)
+        cset = self.cset
+        if cset.n_distance:
+            kin0 = forward_kinematics(model, q0)
+            dist_ref = compute_distance_refs(model, cset, kin0)
+        else:
+            dist_ref = jnp.zeros((0,), self.dtype)
+        carry0 = {
+            "contact_active": jnp.zeros((cset.n_contacts,), bool),
+            "bound_active": jnp.zeros((cset.n_bounds,), bool),
+            "lam": jnp.zeros((cset.total_rows,), self.dtype),
+            "distance_ref": dist_ref,
+        }
+        a0, aux = self.dynamics_full(jnp.asarray(0.0, self.dtype), q0, v0, command, carry0)
         nc = len(self.robot.contact_frame_indices)
         st = SimState(
             t=jnp.asarray(0.0, self.dtype),
@@ -146,6 +284,10 @@ class Engine:
             sensor_rings=self.robot.sensors.init_rings(self.sensor_period, self.dtype),
             measurements={},
             key=key,
+            contact_active=aux.get("contact_active", carry0["contact_active"]),
+            bound_active=aux.get("bound_active", carry0["bound_active"]),
+            lam=aux.get("lam", carry0["lam"]),
+            distance_ref=dist_ref,
         )
         # Prime sensors at t=0 so the first observation is valid
         st = self._update_sensors(st, a0, aux)
@@ -188,7 +330,8 @@ class Engine:
         """Advance (q, v) by one sensor period; returns (state', a, aux)."""
         opts = self.options.stepper
         model = self.robot.model
-        f = self._accel_fn(command)
+        carry = self._carry_of(state)
+        f = self._accel_fn(command, carry)
         period = jnp.asarray(self.sensor_period, self.dtype)
 
         if opts.integrator == IntegratorType.EULER_EXPLICIT:
@@ -202,7 +345,7 @@ class Engine:
             (t_end, q, v), _ = jax.lax.scan(
                 body, (state.t, state.q, state.v), None, length=self.n_substeps
             )
-            a, aux = self.dynamics_full(t_end, q, v, command)
+            a, aux = self.dynamics_full(t_end, q, v, command, carry)
             new_stepper = state.stepper.replace(
                 iterations=state.stepper.iterations + self.n_substeps
             )
@@ -219,7 +362,7 @@ class Engine:
             (t_end, q, v), _ = jax.lax.scan(
                 body, (state.t, state.q, state.v), None, length=self.n_substeps
             )
-            a, aux = self.dynamics_full(t_end, q, v, command)
+            a, aux = self.dynamics_full(t_end, q, v, command, carry)
             new_stepper = state.stepper.replace(
                 iterations=state.stepper.iterations + self.n_substeps
             )
@@ -278,7 +421,7 @@ class Engine:
         }
         c = jax.lax.while_loop(cond, body, init)
         q, v = integ.normalize(model, c["q"]), c["v"]
-        a, aux = self.dynamics_full(state.t + period, q, v, command)
+        a, aux = self.dynamics_full(state.t + period, q, v, command, carry)
         new_stepper = StepperState(
             dt=c["dt_pref"],
             iterations=c["iters"],
@@ -307,6 +450,9 @@ class Engine:
                 stepper=stepper,
                 u_motor=aux["u_motor"],
                 contact_forces=aux["contact_f_world"],
+                contact_active=aux.get("contact_active", st.contact_active),
+                bound_active=aux.get("bound_active", st.bound_active),
+                lam=aux.get("lam", st.lam),
             )
             st2 = self._update_sensors(st2, a, aux)
             return st2.replace(a=a), None

@@ -52,6 +52,9 @@ class Robot:
     sensors: SensorSuite = struct.field(default_factory=SensorSuite)
     contact_frame_indices: tuple = struct.field(pytree_node=False, default=())
     flexibility: Optional[FlexibilityConfig] = None
+    # Closed kinematic loops: ((frame_a, frame_b), ...) distance constraints
+    # (reference `DistanceConstraint`, e.g. Cassie pushrods)
+    loop_pairs: tuple = struct.field(pytree_node=False, default=())
 
     @property
     def nq(self):
@@ -81,6 +84,7 @@ class Robot:
         sensors: Optional[dict] = None,
         contact_frames: Sequence[str] = (),
         flexibility: Sequence[dict] = (),
+        loop_constraints: Sequence[tuple] = (),
         dtype=None,
     ) -> "Robot":
         """Assemble a robot.
@@ -124,6 +128,7 @@ class Robot:
             sensors=suite,
             contact_frame_indices=contact_idx,
             flexibility=flex_cfg,
+            loop_pairs=tuple(tuple(p) for p in loop_constraints),
         )
 
 
@@ -293,7 +298,18 @@ def _build_sensor_suite(model, bank, sensor_specs, contact_idx, dtype) -> Sensor
             noise[i] = np.broadcast_to(np.asarray(s.get("noise_std", 0.0), float), (6,))
             b = np.asarray(s.get("bias", np.zeros(9)), float)
             if b.size == 9:
-                rot_bias_inv[i] = np.asarray(lie.exp3_mat(jnp.asarray(-b[:3], jnp.float64)))
+                # Host-side Rodrigues (numpy): R_b^-1 = exp3(-rotation bias)
+                w = -b[:3]
+                th = float(np.linalg.norm(w))
+                sk = np.array(
+                    [[0, -w[2], w[1]], [w[2], 0, -w[0]], [-w[1], w[0], 0]], dtype=float
+                )
+                if th > 1e-12:
+                    rot_bias_inv[i] = (
+                        np.eye(3)
+                        + np.sin(th) / th * sk
+                        + (1 - np.cos(th)) / th**2 * (sk @ sk)
+                    )
                 bias6[i] = b[3:]
             else:
                 bias6[i] = np.broadcast_to(b, (6,))

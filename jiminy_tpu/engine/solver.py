@@ -1,0 +1,181 @@
+"""Constrained forward dynamics: Projected Gauss–Seidel over A = J·M⁻¹·Jᵀ.
+
+Re-design of the reference `PGSSolver::SolveBoxedForwardDynamics`
+(`core/src/solver/constraint_solvers.cc:328-448`) for XLA: fixed iteration count
+(static shapes; the reference caps at iterMax anyway), constraint activity as a row
+mask (inactive rows have zero Jacobian → zero force), warm-started multipliers
+carried in the sim state, under-relaxation schedule and second-order friction-cone
+projection identical to the reference (`ProjectedGaussSeidelIter`,
+`constraint_solvers.cc:107-222`).
+
+The Gauss–Seidel sweep is a trace-time loop over the static row layout; each sweep
+is sequential by nature but tiny (N ≲ 40 rows), and the whole solve is batched over
+envs by `vmap` — thousands of independent PGS solves run as one vectorized program.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from jiminy_tpu.engine.constraints import ConstraintSet, ConstraintSystem
+from jiminy_tpu.models.model import RobotModel
+from jiminy_tpu.ops import dynamics as dyn
+from jiminy_tpu.ops import lie
+
+_MIN_REGULARIZER = 1.0e-11
+_RELAX_MIN = 0.01
+_RELAX_MAX = 1.0
+_RELAX_MIN_ITER_NUM = 20
+_RELAX_MAX_ITER_NUM = 30
+_RELAX_SLOPE_ORDER = 2.0
+
+
+def _relaxation(iter_idx, iter_max: int):
+    """Under-relaxation factor schedule (reference `constraint_solvers.cc:245-258`)."""
+    denom = max(iter_max - _RELAX_MIN_ITER_NUM - _RELAX_MAX_ITER_NUM, 1)
+    ratio = ((iter_max - _RELAX_MIN_ITER_NUM) - iter_idx) / denom
+    w = jnp.where(
+        ratio >= 1.0,
+        _RELAX_MAX,
+        _RELAX_MIN
+        + (_RELAX_MAX - _RELAX_MIN) * jnp.clip(ratio, 0.0, 1.0) ** _RELAX_SLOPE_ORDER,
+    )
+    return w
+
+
+def pgs_solve(
+    cset: ConstraintSet,
+    A: jnp.ndarray,  # (..., N, N)
+    b: jnp.ndarray,  # (..., N)
+    lam0: jnp.ndarray,  # (..., N) warm start (masked for inactive rows)
+    friction: float,
+    torsion: float,
+    iter_max: int,
+) -> jnp.ndarray:
+    """Fixed-iteration PGS with boxed bounds and friction-cone projection."""
+    off_b, off_c, off_d = cset.row_offsets()
+    dtype = b.dtype
+
+    def dot_col(x, i):
+        return jnp.einsum("...i,...i->...", A[..., :, i], x, precision=lie._HIGHEST)
+
+    def sweep(x, w):
+        # 1) Unbounded constraints: distance loops (plain Gauss-Seidel)
+        for k in range(cset.n_distance):
+            i = off_d + k
+            y = b[..., i] - dot_col(x, i)
+            x = x.at[..., i].add(y / A[..., i, i])
+
+        # 2) Bounded constraints, breadth-first over block levels
+        # level 0: joint bounds (λ >= 0) then contact normals (λ_z >= 0)
+        for k in range(cset.n_bounds):
+            i = off_b + k
+            y = b[..., i] - dot_col(x, i)
+            xi = x[..., i] + w * y / A[..., i, i]
+            x = x.at[..., i].set(jnp.maximum(xi, 0.0))
+        for k in range(cset.n_contacts):
+            i = off_c + 4 * k + 2
+            y = b[..., i] - dot_col(x, i)
+            xi = x[..., i] + w * y / A[..., i, i]
+            x = x.at[..., i].set(jnp.maximum(xi, 0.0))
+        # level 1: torsional friction |λ_rz| <= torsion * λ_z
+        for k in range(cset.n_contacts):
+            i = off_c + 4 * k + 3
+            iz = off_c + 4 * k + 2
+            if torsion <= 0.0:
+                x = x.at[..., i].set(0.0)
+                continue
+            y = b[..., i] - dot_col(x, i)
+            xi = x[..., i] + w * y / A[..., i, i]
+            thr = torsion * x[..., iz]
+            x = x.at[..., i].set(jnp.clip(xi, -thr, thr))
+        # level 2: tangential friction cone ||λ_xy|| <= µ λ_z
+        for k in range(cset.n_contacts):
+            i0 = off_c + 4 * k
+            i1 = i0 + 1
+            iz = i0 + 2
+            if friction <= 0.0:
+                x = x.at[..., i0].set(0.0)
+                x = x.at[..., i1].set(0.0)
+                continue
+            y0 = b[..., i0] - dot_col(x, i0)
+            y1 = b[..., i1] - dot_col(x, i1)
+            a_max = jnp.maximum(A[..., i0, i0], A[..., i1, i1])
+            x0 = x[..., i0] + w * y0 / a_max
+            x1 = x[..., i1] + w * y1 / a_max
+            thr = friction * x[..., iz]
+            norm2 = x0 * x0 + x1 * x1
+            scale = jnp.where(
+                norm2 > thr * thr, thr / jnp.sqrt(jnp.maximum(norm2, 1e-30)), 1.0
+            )
+            x = x.at[..., i0].set(x0 * scale)
+            x = x.at[..., i1].set(x1 * scale)
+        return x
+
+    def body(it, x):
+        w = _relaxation(it, iter_max).astype(dtype)
+        return sweep(x, w)
+
+    return jax.lax.fori_loop(0, iter_max, body, lam0)
+
+
+class ConstrainedDynamicsResult(NamedTuple):
+    qdd: jnp.ndarray  # (..., nv)
+    lam: jnp.ndarray  # (..., N) multipliers (constraint-space forces)
+
+
+def constrained_forward_dynamics(
+    model: RobotModel,
+    gravity: jnp.ndarray,
+    q: jnp.ndarray,
+    v: jnp.ndarray,
+    tau: jnp.ndarray,
+    fext,
+    csys: ConstraintSystem,
+    cset: ConstraintSet,
+    lam_warm: jnp.ndarray,
+    friction: float,
+    torsion: float,
+    regularization: float,
+    iter_max: int,
+) -> ConstrainedDynamicsResult:
+    """qdd = M⁻¹(Jᵀλ + τ - nle) with λ from PGS over A = J·M⁻¹·Jᵀ + reg
+    (reference `SolveBoxedForwardDynamics` + engine `computeAcceleration`)."""
+    dtype = q.dtype
+    mass_matrix = dyn.crba(model, q)  # includes armature
+    nle = dyn.nonlinear_effects(model, gravity, q, v, fext)
+    chol = jnp.linalg.cholesky(mass_matrix)
+
+    def minv(x):
+        # Solve M y = x for (..., nv) or (..., nv, k)
+        vec = x.ndim == q.ndim
+        if vec:
+            x = x[..., None]
+        y = jax.scipy.linalg.solve_triangular(chol, x, lower=True)
+        y = jax.scipy.linalg.solve_triangular(
+            jnp.swapaxes(chol, -1, -2), y, lower=False
+        )
+        return y[..., 0] if vec else y
+
+    # Mask inactive rows: zero Jacobian/drift → zero force
+    mask = csys.active.astype(dtype)
+    jac = csys.jac * mask[..., None]
+    drift = csys.drift * mask
+
+    tau_res = minv(tau - nle)
+    minv_jt = minv(jnp.swapaxes(jac, -1, -2))  # (..., nv, N)
+    A = lie.mm(jac, minv_jt)
+    diag = jnp.diagonal(A, axis1=-2, axis2=-1)
+    reg = jnp.maximum(diag * regularization, _MIN_REGULARIZER)
+    A = A + jnp.zeros_like(A).at[
+        ..., jnp.arange(A.shape[-1]), jnp.arange(A.shape[-1])
+    ].set(reg)
+    b = -drift - lie.mv(jac, tau_res)
+    b = b * mask
+
+    lam = pgs_solve(cset, A, b, lam_warm * mask, friction, torsion, iter_max)
+    qdd = minv(jnp.einsum("...ij,...i->...j", jac, lam, precision=lie._HIGHEST)) + tau_res
+    return ConstrainedDynamicsResult(qdd=qdd, lam=lam)

@@ -39,3 +39,8 @@ class SimState:
     sensor_rings: Dict[str, Any]
     measurements: Dict[str, jnp.ndarray]  # sensor group -> (n, ndata)
     key: jnp.ndarray  # PRNG key for sensor noise / randomization
+    # Constraint-mode carry (zero-size arrays in spring-damper mode):
+    contact_active: jnp.ndarray = None  # (nc,) bool hysteresis state
+    bound_active: jnp.ndarray = None  # (nb,) bool
+    lam: jnp.ndarray = None  # (N,) warm-started PGS multipliers
+    distance_ref: jnp.ndarray = None  # (nd,) loop-closure reference lengths

@@ -1,0 +1,191 @@
+"""BaseEnv: the functional RL environment over the engine.
+
+Role-equivalent to `BaseJiminyEnv` (reference `gym_jiminy/common/envs/generic.py`):
+observation = time + agent state + sensor measurements, action = motor commands,
+`step` advances `step_dt` (a multiple of the controller period) and evaluates
+termination/reward.  Everything is a pure function of `(EnvState, action, key)` —
+batching is `jax.vmap`, distribution is `shard_map`, and the whole rollout loop
+compiles into a single XLA program (no per-step host crossing, unlike the
+reference's C++→Python controller bridge).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from jiminy_tpu.engine.config import EngineOptions
+from jiminy_tpu.engine.engine import Engine
+from jiminy_tpu.engine.robot import Robot
+from jiminy_tpu.engine.state import SimState
+
+
+@struct.dataclass
+class EnvState:
+    sim: SimState
+    steps: jnp.ndarray  # () int32 — env steps since reset
+    last_action: jnp.ndarray  # (act_dim,)
+    blocks: Dict[str, Any]  # pipeline block states (outer wrappers add entries)
+    key: jnp.ndarray  # env-level PRNG key (randomization, rewards)
+
+
+class BaseEnv:
+    """Functional env API:
+
+    - `reset(key) -> (EnvState, obs)`
+    - `step(state, action) -> (state', obs, reward, terminated, truncated, info)`
+    - `observe(state) -> obs` (pytree of arrays)
+
+    Subclasses/instances override `_sample_state`, `_compute_reward`,
+    `_is_terminated` and optionally `observe`/`_action_to_command`.
+    """
+
+    def __init__(
+        self,
+        robot: Robot,
+        options: Optional[EngineOptions] = None,
+        step_dt: float = 0.02,
+        horizon: int = 1000,
+        debug: bool = False,
+    ):
+        self.robot = robot
+        self.engine = Engine(robot, options)
+        self.step_dt = step_dt
+        ratio = step_dt / self.engine.control_period
+        self.n_ctrl_per_step = max(int(round(ratio)), 1)
+        if abs(ratio - self.n_ctrl_per_step) > 1e-9:
+            raise ValueError("step_dt must be a multiple of the controller period")
+        self.horizon = horizon
+        self.debug = debug
+
+    # ------------------------------------------------------------------ #
+    # Spaces (shape/dtype metadata; bounds for wrappers)
+    # ------------------------------------------------------------------ #
+    @property
+    def action_size(self) -> int:
+        return self.robot.nmotors
+
+    def action_bounds(self) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        m = self.robot.motors
+        if m is None:
+            z = jnp.zeros((0,), self.engine.dtype)
+            return z, z
+        return -m.effort_limit, m.effort_limit
+
+    # ------------------------------------------------------------------ #
+    # Hooks
+    # ------------------------------------------------------------------ #
+    def _sample_state(self, key) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Initial (q, v); override for randomized resets."""
+        model = self.robot.model
+        return model.neutral(), jnp.zeros((model.nv,), model.dtype)
+
+    def observe(self, state: EnvState):
+        """Default observation: t, q, v and the sensor measurement tree
+        (reference obs space, `envs/generic.py` + `utils/spaces.py:107-244`)."""
+        sim = state.sim
+        return {
+            "t": sim.t,
+            "agent_state": {"q": sim.q, "v": sim.v},
+            "measurements": dict(sim.measurements),
+        }
+
+    def _action_to_command(self, state: EnvState, action, obs):
+        """Map the env action to motor commands (identity for effort control)."""
+        return action
+
+    def _compute_reward(self, state: EnvState, action, next_state: EnvState):
+        return jnp.asarray(0.0, self.engine.dtype)
+
+    def _is_terminated(self, state: EnvState):
+        return jnp.asarray(False) | state.sim.stepper.diverged
+
+    # ------------------------------------------------------------------ #
+    # Core API
+    # ------------------------------------------------------------------ #
+    def reset(self, key) -> Tuple[EnvState, Any]:
+        k_state, k_sim, k_env = jax.random.split(key, 3)
+        q0, v0 = self._sample_state(k_state)
+        sim = self.engine.reset(q0, v0, key=k_sim)
+        state = EnvState(
+            sim=sim,
+            steps=jnp.asarray(0, jnp.int32),
+            last_action=jnp.zeros((self.action_size,), self.engine.dtype),
+            blocks={},
+            key=k_env,
+        )
+        return state, self.observe(state)
+
+    def step(self, state: EnvState, action):
+        obs = self.observe(state)
+        command = self._action_to_command(state, action, obs)
+
+        def ctrl_substep(sim, _):
+            return self.engine.step(sim, command), None
+
+        sim, _ = jax.lax.scan(ctrl_substep, state.sim, None, length=self.n_ctrl_per_step)
+        next_state = state.replace(
+            sim=sim,
+            steps=state.steps + 1,
+            last_action=jnp.asarray(action, self.engine.dtype).reshape(
+                state.last_action.shape
+            ),
+        )
+        obs = self.observe(next_state)
+        reward = self._compute_reward(state, action, next_state)
+        terminated = self._is_terminated(next_state)
+        truncated = next_state.steps >= self.horizon
+        info: Dict[str, Any] = {}
+        return next_state, obs, reward, terminated, truncated, info
+
+    # ------------------------------------------------------------------ #
+    # Convenience rollout (single env or under vmap)
+    # ------------------------------------------------------------------ #
+    def rollout(self, state: EnvState, policy: Callable, n_steps: int):
+        """scan `n_steps` with `policy(obs, key) -> action`; no auto-reset."""
+
+        def body(carry, _):
+            st = carry
+            k, sub = jax.random.split(st.key)
+            st = st.replace(key=k)
+            action = policy(self.observe(st), sub)
+            st, obs, reward, term, trunc, _ = self.step(st, action)
+            return st, (reward, term, trunc)
+
+        return jax.lax.scan(body, state, None, length=n_steps)
+
+
+class AutoResetWrapper:
+    """Vectorized auto-reset: on termination/truncation the env restarts from a
+    fresh sample — the standard trick to keep a fixed-shape batched rollout
+    (the reference relies on per-process Gymnasium resets instead)."""
+
+    def __init__(self, env):
+        self.env = env
+
+    def __getattr__(self, name):
+        return getattr(self.env, name)
+
+    def reset(self, key):
+        return self.env.reset(key)
+
+    def step(self, state, action):
+        state, obs, reward, terminated, truncated, info = self.env.step(state, action)
+        done = terminated | truncated
+        key, sub = jax.random.split(state.key)
+        fresh, fresh_obs = self.env.reset(sub)
+        fresh = fresh.replace(key=key)
+
+        def pick(a, b):
+            # Scalar `done` broadcasts against every leaf (used under vmap the
+            # batch axis is added outside, so `done` is always a scalar here).
+            return jax.tree.map(lambda x, y: jnp.where(done, y, x), a, b)
+
+        state = pick(state, fresh)
+        obs = pick(obs, fresh_obs)
+        info = dict(info, done=done)
+        return state, obs, reward, terminated, truncated, info

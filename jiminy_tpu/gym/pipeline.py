@@ -1,0 +1,260 @@
+"""Composable pipeline wrappers + declarative pipeline builder.
+
+Re-design of `gym_jiminy.common.bases.pipeline` (reference `bases/pipeline.py`) and
+`utils/pipeline.py` (`build_pipeline`/`load_pipeline`): wrappers compose the
+functional env API, so an entire pipeline — observers, controllers, reward and
+termination compositions — is one pure jitted step function.
+
+Wrapper protocol (same as `BaseEnv`): `reset(key)`, `step(state, action)`,
+`observe(state)`; block states live in `EnvState.blocks` keyed by block name.
+"""
+
+from __future__ import annotations
+
+import importlib
+import json
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from jiminy_tpu.gym.base import BaseEnv, EnvState
+from jiminy_tpu.gym.blocks import (
+    BodyObserver,
+    MahonyFilter,
+    MotorSafetyLimit,
+    PDAdapter,
+    PDController,
+)
+
+
+class _Wrapper:
+    """Shared plumbing for pipeline layers."""
+
+    def __init__(self, env):
+        self.env = env
+
+    def __getattr__(self, name):
+        return getattr(self.env, name)
+
+    @property
+    def unwrapped(self):
+        e = self.env
+        while isinstance(e, _Wrapper):
+            e = e.env
+        return e
+
+    def observe(self, state):
+        return self.env.observe(state)
+
+    def reset(self, key):
+        return self.env.reset(key)
+
+    def step(self, state, action):
+        return self.env.step(state, action)
+
+
+class ControlledEnv(_Wrapper):
+    """Attach a controller block: the env action becomes the block's target and
+    the block output feeds the inner env (reference `ControlledJiminyEnv`,
+    `bases/pipeline.py:1029`)."""
+
+    def __init__(self, env, block, augment_observation: bool = True):
+        super().__init__(env)
+        self.block = block
+        self.augment_observation = augment_observation
+
+    @property
+    def action_size(self):
+        return self.block.action_size
+
+    def action_bounds(self):
+        return jnp.asarray(self.block.action_low), jnp.asarray(self.block.action_high)
+
+    def observe(self, state):
+        obs = self.env.observe(state)
+        if self.augment_observation and self.block.name in state.blocks:
+            obs = dict(obs)
+            obs.setdefault("targets", {})
+            obs["targets"] = dict(obs["targets"])
+            obs["targets"][self.block.name] = state.blocks[self.block.name]
+        return obs
+
+    def reset(self, key):
+        state, _ = self.env.reset(key)
+        bstate = self.block.init_state(state)
+        state = state.replace(blocks={**state.blocks, self.block.name: bstate})
+        return state, self.observe(state)
+
+    def _block_obs(self, obs, state):
+        if "pd_controller" in state.blocks:
+            obs = dict(obs)
+            obs["_pd_command_state"] = state.blocks["pd_controller"]
+        return obs
+
+    def step(self, state, action):
+        obs = self._block_obs(self.observe(state), state)
+        command, bstate = self.block.compute(action, obs, state.blocks[self.block.name])
+        state = state.replace(blocks={**state.blocks, self.block.name: bstate})
+        state, _, reward, terminated, truncated, info = self.env.step(state, command)
+        return state, self.observe(state), reward, terminated, truncated, info
+
+
+class ObservedEnv(_Wrapper):
+    """Attach an observer block whose features augment the observation
+    (reference `ObservedJiminyEnv`, `bases/pipeline.py:852`)."""
+
+    def __init__(self, env, block):
+        super().__init__(env)
+        self.block = block
+
+    def observe(self, state):
+        obs = dict(self.env.observe(state))
+        entry = state.blocks.get(self.block.name)
+        if entry is not None:
+            obs.setdefault("features", {})
+            obs["features"] = dict(obs["features"])
+            obs["features"][self.block.name] = entry["features"]
+        return obs
+
+    def reset(self, key):
+        state, _ = self.env.reset(key)
+        bstate = self.block.init_state(state)
+        features, bstate = self.block.refresh(self.env.observe(state), bstate)
+        state = state.replace(
+            blocks={**state.blocks, self.block.name: {"state": bstate, "features": features}}
+        )
+        return state, self.observe(state)
+
+    def step(self, state, action):
+        state, _, reward, terminated, truncated, info = self.env.step(state, action)
+        entry = state.blocks[self.block.name]
+        features, bstate = self.block.refresh(self.env.observe(state), entry["state"])
+        state = state.replace(
+            blocks={**state.blocks, self.block.name: {"state": bstate, "features": features}}
+        )
+        return state, self.observe(state), reward, terminated, truncated, info
+
+
+class ComposedEnv(_Wrapper):
+    """Attach reward and termination compositions (reference
+    `ComposedJiminyEnv`, `bases/pipeline.py:525`).
+
+    reward: callable(env, state, action, next_state) -> float
+    terminations: sequence of callable(env, next_state) -> bool
+    """
+
+    def __init__(self, env, reward: Optional[Callable] = None,
+                 terminations: Sequence[Callable] = ()):
+        super().__init__(env)
+        self.reward_fn = reward
+        self.terminations = tuple(terminations)
+
+    def step(self, state, action):
+        prev = state
+        state, obs, reward, terminated, truncated, info = self.env.step(state, action)
+        if self.reward_fn is not None:
+            reward = self.reward_fn(self, prev, action, state)
+        for term in self.terminations:
+            terminated = terminated | term(self, state)
+        return state, obs, reward, terminated, truncated, info
+
+
+# =============================================================================
+# Declarative pipeline builder
+# =============================================================================
+
+_BLOCK_REGISTRY = {
+    "PDController": PDController,
+    "PDAdapter": PDAdapter,
+    "MahonyFilter": MahonyFilter,
+    "MotorSafetyLimit": MotorSafetyLimit,
+    "BodyObserver": BodyObserver,
+}
+
+
+def _resolve(path: str):
+    mod, _, attr = path.partition(":")
+    return getattr(importlib.import_module(mod), attr)
+
+
+def build_pipeline(config: dict):
+    """Build a full pipeline env from a config dict (reference `build_pipeline`,
+    `gym_jiminy/common/utils/pipeline.py:232`).
+
+    Schema::
+
+        {"env": {"cls": "jiminy_tpu.envs.cartpole:CartPoleEnv", **kwargs},
+         "layers": [{"block": "PDController", **block_kwargs},
+                    {"block": "MahonyFilter", ...},
+                    {"wrapper": "jiminy_tpu.gym.wrappers:FlattenObservation"}],
+         "reward": {"cls": "module:function", **kwargs},          # optional
+         "terminations": [{"cls": "module:function", **kwargs}]}  # optional
+    """
+    env_cfg = dict(config["env"])
+    env_cls = _resolve(env_cfg.pop("cls"))
+    env = env_cls(**env_cfg)
+
+    pd_block = None
+    for layer in config.get("layers", ()):
+        layer = dict(layer)
+        if "block" in layer:
+            name = layer.pop("block")
+            cls = _BLOCK_REGISTRY.get(name) or _resolve(name)
+            if cls is PDController:
+                block = cls(**layer).setup(env)
+                pd_block = block
+                env = ControlledEnv(env, block)
+            elif cls is PDAdapter:
+                if pd_block is None:
+                    raise ValueError("PDAdapter requires an upstream PDController layer")
+                block = cls(**layer).setup(env, pd_block)
+                env = ControlledEnv(env, block)
+            elif cls in (MahonyFilter, BodyObserver):
+                block = cls(**layer).setup(env)
+                env = ObservedEnv(env, block)
+            elif cls is MotorSafetyLimit:
+                block = cls(**layer).setup(env)
+                env = ControlledEnv(env, block, augment_observation=False)
+            else:
+                block = cls(**layer)
+                if hasattr(block, "setup"):
+                    block = block.setup(env)
+                env = (
+                    ObservedEnv(env, block)
+                    if hasattr(block, "refresh")
+                    else ControlledEnv(env, block)
+                )
+        elif "wrapper" in layer:
+            cls = _resolve(layer.pop("wrapper"))
+            env = cls(env, **layer)
+
+    reward_cfg = config.get("reward")
+    term_cfgs = config.get("terminations", ())
+    if reward_cfg or term_cfgs:
+        reward_fn = None
+        if reward_cfg:
+            reward_cfg = dict(reward_cfg)
+            fn = _resolve(reward_cfg.pop("cls"))
+            reward_fn = fn(**reward_cfg) if reward_cfg else fn
+        terms = []
+        for tc in term_cfgs:
+            tc = dict(tc)
+            fn = _resolve(tc.pop("cls"))
+            terms.append(fn(**tc) if tc else fn)
+        env = ComposedEnv(env, reward=reward_fn, terminations=terms)
+    return env
+
+
+def load_pipeline(path: str):
+    """Load a pipeline from a TOML or JSON file (reference `load_pipeline`,
+    `utils/pipeline.py:623`)."""
+    if path.endswith(".json"):
+        with open(path) as f:
+            return build_pipeline(json.load(f))
+    if path.endswith(".toml"):
+        import tomllib
+
+        with open(path, "rb") as f:
+            return build_pipeline(tomllib.load(f))
+    raise ValueError(f"unsupported pipeline file format: {path}")

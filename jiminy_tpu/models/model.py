@@ -115,14 +115,19 @@ def build_model(
     name: str,
     joint_specs: Sequence[dict[str, Any]],
     frame_specs: Sequence[dict[str, Any]] = (),
-    dtype=jnp.float64,
+    dtype=None,
 ) -> RobotModel:
     """Assemble a RobotModel from per-joint dicts (host-side, numpy float64).
 
     Each joint spec: {name, type: JointType, parent: int, placement: (R, p),
     axis: (3,), mass, com, inertia, [armature], [position_limit], [velocity_limit],
     [effort_limit]}.  Frame spec: {name, parent: int, placement: (R, p)}.
+
+    dtype defaults to float64 when x64 is enabled (CPU parity tests) and float32
+    otherwise (TPU throughput).
     """
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     nj = len(joint_specs)
     joint_types, parents, idx_q, idx_v, names = [], [], [], [], []
     nq = nv = 0

@@ -1,0 +1,11 @@
+"""RL training: PPO with CAPS/symmetry regularizers, sharded over TPU meshes.
+
+Re-design of `gym_jiminy.rllib` (reference `python/gym_jiminy/rllib/`): instead of
+Ray actors sampling from per-process Gymnasium envs, the rollout is a `lax.scan`
+of the vmapped env step *inside* the learner program, sharded across devices with
+`jax.sharding` — gradients all-reduce over ICI, no object store, no RPC.
+"""
+
+from jiminy_tpu.rl.ppo import PPOConfig, PPOState, make_train, train
+
+__all__ = ["PPOConfig", "PPOState", "make_train", "train"]

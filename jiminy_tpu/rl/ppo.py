@@ -1,0 +1,309 @@
+"""PPO on fully-jitted batched rollouts, with the reference's regularizers.
+
+Re-design of `gym_jiminy.rllib.ppo` (reference `rllib/ppo.py:207-325`): clipped
+surrogate PPO plus
+
+- CAPS temporal smoothness  E‖π(s_t) − π(s_{t+1})‖²   (`ppo.py` caps_temporal_reg)
+- CAPS spatial smoothness   E‖π(s) − π(s+ε)‖², ε∼N(0,σ) (caps_spatial_reg)
+- CAPS global regularizer   E‖π(s)‖²                   (caps_global_reg)
+- L2 weight decay           (l2_reg)
+
+The whole iteration — rollout scan over the vmapped env, GAE, epochs of
+minibatched updates — is ONE jitted function.  Multi-chip: pass a
+`jax.sharding.Mesh`; env states and rollout tensors shard over the `data` axis,
+parameters stay replicated, and XLA inserts the gradient all-reduce over ICI
+(replacing the reference's Ray sampling + torch DDP stack).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from jiminy_tpu.gym.base import AutoResetWrapper
+from jiminy_tpu.rl.networks import ActorCritic
+
+
+@dataclasses.dataclass(frozen=True)
+class PPOConfig:
+    n_envs: int = 64
+    n_steps: int = 64          # rollout length per env per iteration
+    n_epochs: int = 4
+    n_minibatches: int = 4
+    gamma: float = 0.99
+    gae_lambda: float = 0.95
+    clip_eps: float = 0.2
+    vf_coef: float = 0.5
+    ent_coef: float = 0.01
+    lr: float = 3.0e-4
+    max_grad_norm: float = 0.5
+    anneal_lr: bool = False
+    total_iterations: int = 100
+    hidden: tuple = (256, 256)
+    # Regularizers (reference rllib/ppo.py)
+    caps_temporal_reg: float = 0.0
+    caps_spatial_reg: float = 0.0
+    caps_global_reg: float = 0.0
+    spatial_noise_std: float = 0.1
+    l2_reg: float = 0.0
+
+
+@struct.dataclass
+class PPOState:
+    params: Any
+    opt_state: Any
+    env_state: Any  # batched EnvState
+    last_obs: jnp.ndarray  # (n_envs, obs_dim)
+    key: jnp.ndarray
+    iteration: jnp.ndarray
+
+
+def _gaussian_logp(mean, log_std, action):
+    var = jnp.exp(2 * log_std)
+    return jnp.sum(
+        -0.5 * ((action - mean) ** 2 / var + 2 * log_std + jnp.log(2 * jnp.pi)), axis=-1
+    )
+
+
+def _gaussian_entropy(log_std):
+    return jnp.sum(log_std + 0.5 * jnp.log(2 * jnp.pi * jnp.e), axis=-1)
+
+
+def make_train(env, config: PPOConfig, mesh: Optional[jax.sharding.Mesh] = None):
+    """Returns (init_fn, train_step_fn).
+
+    `env` must produce flat vector observations (wrap with FlattenObservation);
+    auto-reset is applied here.
+    `init_fn(key) -> PPOState`; `train_step(state) -> (state, metrics)`.
+    """
+    env = AutoResetWrapper(env)
+    network = ActorCritic(env.action_size, hidden=config.hidden)
+    tx_parts = [optax.clip_by_global_norm(config.max_grad_norm)]
+    if config.anneal_lr:
+        sched = optax.linear_schedule(config.lr, 0.0, config.total_iterations
+                                      * config.n_epochs * config.n_minibatches)
+        tx_parts.append(optax.adam(sched))
+    else:
+        tx_parts.append(optax.adam(config.lr))
+    tx = optax.chain(*tx_parts)
+
+    data_sharding = None
+    if mesh is not None:
+        data_sharding = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec("data")
+        )
+
+    def init_fn(key) -> PPOState:
+        k_env, k_net, k = jax.random.split(key, 3)
+        env_keys = jax.random.split(k_env, config.n_envs)
+        if data_sharding is not None:
+            env_keys = jax.device_put(env_keys, data_sharding)
+        env_state, obs = jax.jit(jax.vmap(env.reset))(env_keys)
+        params = network.init(k_net, obs[:1])
+        opt_state = tx.init(params)
+        return PPOState(
+            params=params,
+            opt_state=opt_state,
+            env_state=env_state,
+            last_obs=obs,
+            key=k,
+            iteration=jnp.asarray(0, jnp.int32),
+        )
+
+    def rollout(state: PPOState):
+        def step_once(carry, _):
+            env_state, obs, key = carry
+            key, k_act = jax.random.split(key)
+            mean, log_std, value = network.apply(state.params, obs)
+            action = mean + jnp.exp(log_std) * jax.random.normal(
+                k_act, mean.shape, mean.dtype
+            )
+            logp = _gaussian_logp(mean, log_std, action)
+            env_state, next_obs, reward, term, trunc, info = jax.vmap(env.step)(
+                env_state, action
+            )
+            done = term | trunc
+            data = {
+                "obs": obs,
+                "action": action,
+                "logp": logp,
+                "value": value,
+                "reward": reward,
+                "done": done,
+            }
+            return (env_state, next_obs, key), data
+
+        (env_state, last_obs, key), traj = jax.lax.scan(
+            step_once, (state.env_state, state.last_obs, state.key), None,
+            length=config.n_steps,
+        )
+        return env_state, last_obs, key, traj
+
+    def compute_gae(traj, last_value):
+        def scan_fn(carry, x):
+            gae, next_value = carry
+            reward, value, done = x
+            nonterminal = 1.0 - done.astype(value.dtype)
+            delta = reward + config.gamma * next_value * nonterminal - value
+            gae = delta + config.gamma * config.gae_lambda * nonterminal * gae
+            return (gae, value), gae
+
+        (_, _), advantages = jax.lax.scan(
+            scan_fn,
+            (jnp.zeros_like(last_value), last_value),
+            (traj["reward"], traj["value"], traj["done"]),
+            reverse=True,
+        )
+        return advantages, advantages + traj["value"]
+
+    def loss_fn(params, batch, key):
+        mean, log_std, value = network.apply(params, batch["obs"])
+        logp = _gaussian_logp(mean, log_std, batch["action"])
+        ratio = jnp.exp(logp - batch["logp"])
+        adv = batch["advantage"]
+        adv = (adv - jnp.mean(adv)) / (jnp.std(adv) + 1e-8)
+        unclipped = ratio * adv
+        clipped = jnp.clip(ratio, 1 - config.clip_eps, 1 + config.clip_eps) * adv
+        pg_loss = -jnp.mean(jnp.minimum(unclipped, clipped))
+        v_clipped = batch["value"] + jnp.clip(
+            value - batch["value"], -config.clip_eps, config.clip_eps
+        )
+        vf_loss = 0.5 * jnp.mean(
+            jnp.maximum(
+                (value - batch["return"]) ** 2, (v_clipped - batch["return"]) ** 2
+            )
+        )
+        ent = jnp.mean(_gaussian_entropy(log_std))
+        total = pg_loss + config.vf_coef * vf_loss - config.ent_coef * ent
+
+        # ---- CAPS regularizers (reference rllib/ppo.py:207-325) ----
+        if config.caps_temporal_reg > 0.0:
+            mean_next, _, _ = network.apply(params, batch["next_obs"])
+            total = total + config.caps_temporal_reg * jnp.mean(
+                jnp.sum((mean - mean_next) ** 2, axis=-1)
+            )
+        if config.caps_spatial_reg > 0.0:
+            noise = config.spatial_noise_std * jax.random.normal(
+                key, batch["obs"].shape, batch["obs"].dtype
+            )
+            mean_noisy, _, _ = network.apply(params, batch["obs"] + noise)
+            total = total + config.caps_spatial_reg * jnp.mean(
+                jnp.sum((mean - mean_noisy) ** 2, axis=-1)
+            )
+        if config.caps_global_reg > 0.0:
+            total = total + config.caps_global_reg * jnp.mean(jnp.sum(mean**2, axis=-1))
+        if config.l2_reg > 0.0:
+            l2 = sum(
+                jnp.sum(p**2) for p in jax.tree.leaves(params) if p.ndim >= 2
+            )
+            total = total + config.l2_reg * l2
+        metrics = {
+            "pg_loss": pg_loss,
+            "vf_loss": vf_loss,
+            "entropy": ent,
+            "approx_kl": jnp.mean(batch["logp"] - logp),
+        }
+        return total, metrics
+
+    def train_step(state: PPOState):
+        env_state, last_obs, key, traj = rollout(state)
+        _, _, last_value = network.apply(state.params, last_obs)
+        advantages, returns = compute_gae(traj, last_value)
+        next_obs = jnp.concatenate([traj["obs"][1:], last_obs[None]], axis=0)
+        batch = {
+            "obs": traj["obs"],
+            "next_obs": next_obs,
+            "action": traj["action"],
+            "logp": traj["logp"],
+            "value": traj["value"],
+            "advantage": advantages,
+            "return": returns,
+        }
+        # Flatten (T, B) -> (T*B)
+        flat = jax.tree.map(
+            lambda x: x.reshape((-1,) + x.shape[2:]), batch
+        )
+        n_total = config.n_steps * config.n_envs
+        mb_size = n_total // config.n_minibatches
+
+        def epoch_body(carry, _):
+            params, opt_state, key = carry
+            key, k_perm, k_noise = jax.random.split(key, 3)
+            perm = jax.random.permutation(k_perm, n_total)
+            shuffled = jax.tree.map(lambda x: x[perm], flat)
+
+            def mb_body(carry, mb_idx):
+                params, opt_state = carry
+                mb = jax.tree.map(
+                    lambda x: jax.lax.dynamic_slice_in_dim(
+                        x, mb_idx * mb_size, mb_size, 0
+                    ),
+                    shuffled,
+                )
+                (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                    params, mb, jax.random.fold_in(k_noise, mb_idx)
+                )
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), metrics
+
+            (params, opt_state), metrics = jax.lax.scan(
+                mb_body, (params, opt_state), jnp.arange(config.n_minibatches)
+            )
+            return (params, opt_state, key), metrics
+
+        (params, opt_state, key), metrics = jax.lax.scan(
+            epoch_body, (state.params, state.opt_state, key), None,
+            length=config.n_epochs,
+        )
+        mean_reward = jnp.mean(traj["reward"])
+        ep_metrics = {
+            "mean_reward": mean_reward,
+            "mean_done": jnp.mean(traj["done"].astype(jnp.float32)),
+            **jax.tree.map(jnp.mean, metrics),
+        }
+        new_state = PPOState(
+            params=params,
+            opt_state=opt_state,
+            env_state=env_state,
+            last_obs=last_obs,
+            key=key,
+            iteration=state.iteration + 1,
+        )
+        return new_state, ep_metrics
+
+    return init_fn, train_step
+
+
+def train(
+    env,
+    config: PPOConfig,
+    key=None,
+    mesh: Optional[jax.sharding.Mesh] = None,
+    callback: Optional[Callable] = None,
+):
+    """Run `config.total_iterations` PPO iterations; returns (state, history).
+
+    Role-equivalent to `gym_jiminy.rllib.utilities.train` (reference
+    `rllib/utilities.py:564`), minus Ray: one process, N devices.
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    init_fn, train_step = make_train(env, config, mesh=mesh)
+    state = init_fn(key)
+    step = jax.jit(train_step)
+    history = []
+    for i in range(config.total_iterations):
+        state, metrics = step(state)
+        metrics = {k: float(v) for k, v in metrics.items()}
+        history.append(metrics)
+        if callback is not None:
+            callback(i, state, metrics)
+    return state, history
