@@ -33,18 +33,21 @@ def main():
 
     actions = jnp.zeros((batch, env.action_size), state.sim.q.dtype)
 
-    def step_all(state):
+    def step_all(state, _):
         state, obs, reward, term, trunc, _ = jax.vmap(env.step)(state, actions)
+        return state, None
+
+    def run_chunk(state):
+        state, _ = jax.lax.scan(step_all, state, None, length=n_steps)
         return state
 
-    step = jax.jit(step_all, donate_argnums=0)
+    run = jax.jit(run_chunk, donate_argnums=0)
     # Warm-up/compile
-    state = step(state)
+    state = run(state)
     jax.block_until_ready(state.sim.q)
 
     t0 = time.perf_counter()
-    for _ in range(n_steps):
-        state = step(state)
+    state = run(state)
     jax.block_until_ready(state.sim.q)
     elapsed = time.perf_counter() - t0
 

@@ -1,0 +1,119 @@
+"""Telemetry: on-device recording, native TLMC codec round trip, HDF5 round
+trip, robot-from-log reconstruction (reference `test_simulator.py` log tests)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jiminy_tpu.engine import Engine, EngineOptions, Robot
+from jiminy_tpu.engine.config import StepperOptions
+from jiminy_tpu.models import JointType, build_model
+from jiminy_tpu.telemetry import (
+    build_robot_from_log,
+    extract_trajectory_from_log,
+    read_hdf5,
+    read_log,
+    record_rollout,
+    write_hdf5,
+    write_log,
+)
+
+
+def _pendulum_engine():
+    model = build_model(
+        "pendulum",
+        [
+            {
+                "name": "pivot",
+                "type": JointType.REVOLUTE,
+                "parent": -1,
+                "axis": np.array([0.0, 1.0, 0.0]),
+                "mass": 1.0,
+                "com": np.array([0.0, 0.0, -0.7]),
+                "inertia": np.zeros((3, 3)),
+            }
+        ],
+        [{"name": "tip", "parent": 0, "placement": (np.eye(3), np.array([0.0, 0.0, -0.7]))}],
+    )
+    robot = Robot.build(
+        model,
+        motors=[{"joint_name": "pivot"}],
+        sensors={"encoder": [{"motor_name": "pivot"}]},
+    )
+    return Engine(robot, EngineOptions(stepper=StepperOptions(dt_max=1e-3)))
+
+
+def test_record_rollout_columns():
+    eng = _pendulum_engine()
+    st = eng.reset(jnp.array([0.4]))
+    final, log = record_rollout(eng, st, 100)
+    assert len(log.time) == 100
+    assert abs(log.time[-1] - 0.1) < 1e-9
+    q = log.variables["pendulum.currentPositionQ0"]
+    assert q.shape == (100,)
+    assert abs(q[0] - 0.4) < 1e-2
+    enc = log.variables["pendulum.encoder.pivot.Q"]
+    np.testing.assert_allclose(enc, q, atol=1e-12)
+
+
+def test_tlmc_roundtrip(tmp_path):
+    eng = _pendulum_engine()
+    st = eng.reset(jnp.array([0.4]))
+    _, log = record_rollout(eng, st, 50)
+    p = str(tmp_path / "log.jtl")
+    write_log(p, log)
+    log2 = read_log(p)
+    assert set(log2.variables) == set(log.variables)
+    for k in log.variables:
+        np.testing.assert_array_equal(log.variables[k], log2.variables[k])
+    assert log2.constants["jiminy_tpu.version"] == log.constants["jiminy_tpu.version"]
+
+
+def test_hdf5_roundtrip(tmp_path):
+    eng = _pendulum_engine()
+    st = eng.reset(jnp.array([0.4]))
+    _, log = record_rollout(eng, st, 20)
+    p = str(tmp_path / "log.h5")
+    write_hdf5(p, log)
+    log2 = read_hdf5(p)
+    for k in log.variables:
+        np.testing.assert_array_equal(log.variables[k], log2.variables[k])
+
+
+def test_build_robot_from_log(tmp_path):
+    """The robot embedded in the log rebuilds an identical simulation
+    (reference `build_robot_from_log` + trajectory replay round trip)."""
+    eng = _pendulum_engine()
+    st = eng.reset(jnp.array([0.4]))
+    _, log = record_rollout(eng, st, 50)
+    p = str(tmp_path / "log.jtl")
+    write_log(p, log)
+    log2 = read_log(p)
+    robot2 = build_robot_from_log(log2)
+    assert robot2.model.nq == 1
+    assert robot2.motors.names == ("pivot",)
+    # Re-simulate: trajectories must match bitwise (same engine options)
+    from jiminy_tpu.engine import EngineOptions
+    from jiminy_tpu.engine.config import StepperOptions
+
+    eng2 = Engine(robot2, EngineOptions(stepper=StepperOptions(dt_max=1e-3)))
+    st2 = eng2.reset(jnp.array([0.4]))
+    _, log3 = record_rollout(eng2, st2, 50)
+    np.testing.assert_array_equal(
+        log.variables["pendulum.currentPositionQ0"],
+        log3.variables["pendulum.currentPositionQ0"],
+    )
+
+
+def test_trajectory_interpolation(tmp_path):
+    eng = _pendulum_engine()
+    st = eng.reset(jnp.array([0.4]))
+    _, log = record_rollout(eng, st, 50)
+    traj = extract_trajectory_from_log(log)
+    assert len(traj) == 50
+    s = traj.state_at(0.0105)  # between samples
+    q_lo = traj.qs[np.searchsorted(traj.times, 0.0105) - 1]
+    q_hi = traj.qs[np.searchsorted(traj.times, 0.0105)]
+    assert min(q_lo[0], q_hi[0]) - 1e-12 <= s.q[0] <= max(q_lo[0], q_hi[0]) + 1e-12
+    res = traj.resample(np.linspace(traj.times[0], traj.times[-1], 11))
+    assert res.qs.shape == (11, 1)
