@@ -1,0 +1,40 @@
+"""QuantityManager: named quantity registry with per-step delta carries
+(reference `quantities/manager.py:18` — minus the runtime cache, which XLA CSE
+provides under jit; see package docstring)."""
+
+from __future__ import annotations
+
+from typing import Dict
+
+from jiminy_tpu.quantities.generic import Quantity
+
+
+class QuantityManager:
+    def __init__(self, env):
+        self.env = env
+        self.registry: Dict[str, Quantity] = {}
+
+    def __setitem__(self, name: str, quantity: Quantity):
+        self.registry[name] = quantity
+
+    def __getitem__(self, name: str):
+        return self.registry[name]
+
+    def __contains__(self, name):
+        return name in self.registry
+
+    def compute(self, name: str, state):
+        return self.registry[name](self.env, state)
+
+    def compute_all(self, state) -> Dict[str, object]:
+        return {name: q(self.env, state) for name, q in self.registry.items()}
+
+    def delta_snapshot(self, state) -> dict:
+        """Values to carry for `DeltaQuantity` evaluation next step."""
+        from jiminy_tpu.quantities.generic import DeltaQuantity
+
+        out = {}
+        for name, q in self.registry.items():
+            if isinstance(q, DeltaQuantity):
+                out[q.name] = q.inner(self.env, state)
+        return out
