@@ -84,6 +84,17 @@ class EngineOptions:
     # atomic step of `Engine.step`.
     controller_update_period: float = 1.0e-3
     sensor_update_period: float = 1.0e-3
+    # Joint position limits: "constraint" = PGS JointConstraint (reference
+    # behavior), "penalty" = stable spring-damper with per-joint gains scaled by
+    # the apparent joint inertia (enables the fused component-wise fast path),
+    # "none" = unconstrained.
+    joint_bounds_mode: str = "constraint"
+    joint_bounds_freq: float = 20.0  # [Hz] penalty natural frequency
+    # Use the fused component-wise dynamics core when the model supports it
+    # (spring-damper contacts, 1-dof joints + optional free-flyer root).
+    # True = auto (TPU/GPU only: the large fused graph compiles slowly on the
+    # CPU backend), "always" = force on, False = off.
+    use_fast_dynamics: object = True
 
     def replace(self, **kw) -> "EngineOptions":
         return dataclasses.replace(self, **kw)

@@ -85,13 +85,15 @@ class ConstraintSystem(NamedTuple):
     contact_depth: jnp.ndarray  # (nc,)
 
 
-def build_constraint_set(robot, loop_pairs=(), include_contacts=True) -> ConstraintSet:
+def build_constraint_set(
+    robot, loop_pairs=(), include_contacts=True, include_bounds=True
+) -> ConstraintSet:
     """Assemble the registry from a robot: bounds for motorized 1-dof joints with
     finite limits, contacts for every contact frame (constraint contact mode
     only), plus explicit loop closures."""
     model = robot.model
     bounds = []
-    if robot.motors is not None:
+    if robot.motors is not None and include_bounds:
         lo = np.asarray(model.position_limit_lower)
         hi = np.asarray(model.position_limit_upper)
         for j in robot.motors.joint_indices:

@@ -83,13 +83,74 @@ class Engine:
         # active; in SPRING_DAMPER mode only loop closures go through the solver
         # (the reference routes USER constraints through PGS in both modes).
         self.constraint_mode = self.options.contacts.model == ContactModel.CONSTRAINT
-        # Joint bounds and loop closures ALWAYS go through the PGS solver (the
-        # reference enforces bounds via `JointConstraint` in both contact modes,
-        # `engine.cc:3268-3338`); contact rows only in CONSTRAINT mode.
+        # Joint bounds default to the PGS solver in both contact modes (the
+        # reference enforces bounds via `JointConstraint`, `engine.cc:3268-3338`);
+        # in "penalty" mode they become stable spring-dampers instead, which
+        # unlocks the fused component-wise dynamics core.
+        bounds_constraint = self.options.joint_bounds_mode == "constraint"
         self.cset = build_constraint_set(
-            robot, loop_pairs=robot.loop_pairs, include_contacts=self.constraint_mode
+            robot,
+            loop_pairs=robot.loop_pairs,
+            include_contacts=self.constraint_mode,
+            include_bounds=bounds_constraint,
         )
         self.has_constraints = self.cset.total_rows > 0
+        self._bound_gains = (
+            self._build_penalty_bound_gains()
+            if self.options.joint_bounds_mode == "penalty"
+            else {}
+        )
+        self._cdyn = None
+        fast_opt = self.options.use_fast_dynamics
+        fast_enabled = fast_opt == "always" or (
+            fast_opt is True and jax.default_backend() != "cpu"
+        )
+        if (
+            fast_enabled
+            and not self.constraint_mode
+            and not self.has_constraints
+            and (robot.flexibility is None or not robot.flexibility.joint_indices)
+        ):
+            from jiminy_tpu.ops import cdyn as cdyn_mod
+
+            if cdyn_mod.supports_model(robot.model):
+                self._cdyn = cdyn_mod.ComponentDynamics(
+                    robot.model,
+                    tuple(float(g) for g in opts.world.gravity),
+                    contact_opts=opts.contacts,
+                    contact_frames=robot.contact_frame_indices,
+                    ground_fn=self.ground_fn,
+                    bound_gains=self._bound_gains,
+                )
+
+    def _build_penalty_bound_gains(self) -> dict:
+        """Per-joint penalty gains kp = m_ii ω², kd = 2 m_ii ω with m_ii the
+        apparent joint inertia at the neutral pose — stable by construction for
+        the explicit integrators (ω·dt << 1)."""
+        import numpy as _np
+
+        from jiminy_tpu.models import joints as _jt
+
+        model = self.robot.model
+        if self.robot.motors is None:
+            return {}
+        q0 = model.neutral()
+        m_diag = _np.asarray(jnp.diagonal(dyn.crba(model, q0)))
+        omega = 2.0 * math.pi * self.options.joint_bounds_freq
+        gains = {}
+        lo_all = _np.asarray(model.position_limit_lower)
+        hi_all = _np.asarray(model.position_limit_upper)
+        for j in self.robot.motors.joint_indices:
+            t = _jt.JointType(model.joint_types[j])
+            if t not in (_jt.JointType.REVOLUTE, _jt.JointType.PRISMATIC):
+                continue
+            qi, vi = model.idx_q[j], model.idx_v[j]
+            lo, hi = float(lo_all[qi]), float(hi_all[qi])
+            if not (_np.isfinite(lo) or _np.isfinite(hi)):
+                continue
+            m = max(float(m_diag[vi]), 1e-6)
+            gains[vi] = (lo, hi, m * omega**2, 2.0 * m * omega, qi)
+        return gains
 
     # ------------------------------------------------------------------ #
     # Continuous dynamics
@@ -131,7 +192,13 @@ class Engine:
             )
             if fext_user is not None:
                 fext = fext + fext_user
-            if self.has_constraints:  # joint bounds + loop closures
+            if self._cdyn is not None and fext_user is None:
+                # Fused path: contacts + penalty bounds evaluated inside cdyn
+                # (identical values; the generic contact pass above only feeds
+                # the sensor/telemetry aux outputs).
+                a = self._cdyn.accel(q, v, u)
+                aux_c = {}
+            elif self.has_constraints:  # joint bounds + loop closures via PGS
                 csys, a, lam = self._constrained_accel(t, q, v, u, fext, kin, carry)
                 aux_c = {
                     "lam": lam,
@@ -139,6 +206,10 @@ class Engine:
                     "bound_active": csys.bound_active,
                 }
             else:
+                if self._bound_gains:
+                    u = u + internal_mod.penalty_bounds_torque(
+                        self._bound_gains, model.nv, q, v
+                    )
                 a = dyn.aba(model, self.gravity, q, v, u, fext)
                 aux_c = {}
             return a, {
@@ -227,6 +298,17 @@ class Engine:
         return csys, res.qdd, res.lam
 
     def _accel_fn(self, command, carry=None) -> Callable:
+        if self._cdyn is not None and self.external_force_fn is None:
+            robot = self.robot
+
+            def f(t, q, v):
+                if robot.motors is not None and robot.motors.nmotors:
+                    _, u = robot.motors.compute_efforts(command, v)
+                else:
+                    u = jnp.zeros(q.shape[:-1] + (robot.nv,), q.dtype)
+                return self._cdyn.accel(q, v, u)
+
+            return f
         return lambda t, q, v: self.dynamics_full(t, q, v, command, carry)[0]
 
     def _carry_of(self, state: SimState) -> dict:

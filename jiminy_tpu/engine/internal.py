@@ -34,6 +34,32 @@ def flexibility_torque(robot: Robot, q: jnp.ndarray, v: jnp.ndarray) -> jnp.ndar
     return u
 
 
+def penalty_bounds_torque(gains: dict, nv: int, q: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Stable penalty bound torques with precomputed per-dof gains
+    {vidx: (lo, hi, kp, kd)} — mirror of the cdyn fast-path formula so both
+    paths produce identical physics."""
+    u = jnp.zeros(q.shape[:-1] + (nv,), q.dtype)
+    if not gains:
+        return u
+    # vidx == qidx offset mapping is resolved by the caller providing gains
+    # keyed by velocity index of 1-dof joints (idx_q == idx_v only when no
+    # quaternion joints precede; the caller stores (lo, hi) so only q/v lookup
+    # by index matters) — we need the q index too; infer from ordering is
+    # unsafe, so gains may optionally carry it as 5th element.
+    for vi, entry in gains.items():
+        if len(entry) == 5:
+            lo, hi, kp, kd, qi = entry
+        else:
+            lo, hi, kp, kd = entry
+            qi = vi
+        qj, vj = q[..., qi], v[..., vi]
+        over = jnp.maximum(qj - hi, 0.0)
+        under = jnp.maximum(lo - qj, 0.0)
+        active = (over > 0.0) | (under > 0.0)
+        u = u.at[..., vi].add(kp * (under - over) - jnp.where(active, kd * vj, 0.0))
+    return u
+
+
 def position_bounds_torque(
     robot: Robot,
     q: jnp.ndarray,

@@ -8,6 +8,14 @@ usable functionally (reset/step pure functions) for vmap/shard_map rollouts.
 from jiminy_tpu.envs.toys import AcrobotEnv, CartPoleEnv, PendulumEnv
 from jiminy_tpu.envs.ant import AntEnv
 from jiminy_tpu.envs.anymal import ANYmalEnv, ANYmalPDControlEnv
+from jiminy_tpu.envs.bipeds import (
+    AtlasEnv,
+    AtlasPDControlEnv,
+    AtlasReducedEnv,
+    CassieEnv,
+    CassiePDControlEnv,
+    DigitEnv,
+)
 
 _REGISTRY = {
     "cartpole": CartPoleEnv,
@@ -16,6 +24,12 @@ _REGISTRY = {
     "ant": AntEnv,
     "anymal": ANYmalEnv,
     "anymal-pid": ANYmalPDControlEnv,
+    "cassie": CassieEnv,
+    "cassie-pid": CassiePDControlEnv,
+    "digit": DigitEnv,
+    "atlas": AtlasEnv,
+    "atlas-reduced": AtlasReducedEnv,
+    "atlas-pid": AtlasPDControlEnv,
 }
 
 

@@ -1,0 +1,69 @@
+"""Biped/humanoid environments: Cassie, Digit, Atlas (+ reduced / PD variants)
+(reference `gym_jiminy/envs/.../{cassie,digit,atlas}.py`)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from jiminy_tpu.envs import builders_bipeds as bb
+from jiminy_tpu.envs.locomotion import WalkerEnv
+from jiminy_tpu.gym.blocks import PDController
+from jiminy_tpu.gym.pipeline import ControlledEnv
+
+
+class CassieEnv(WalkerEnv):
+    """Cassie biped with closed-loop pushrod distance constraints (reference
+    `CassieJiminyEnv`, `cassie.py:67-140`)."""
+
+    def __init__(self, step_dt: float = 0.04, horizon: int = 500, **kw):
+        robot = bb.build_cassie()
+        q0 = bb.cassie_standing_pose(robot.model)
+        kw.setdefault("base_height_min", 0.5)
+        kw.setdefault("simulation_dt", 1.0e-3)
+        super().__init__(robot, q0, step_dt=step_dt, horizon=horizon, **kw)
+
+
+class DigitEnv(WalkerEnv):
+    """Digit biped (reference `DigitJiminyEnv`, `digit.py:85`)."""
+
+    def __init__(self, step_dt: float = 0.04, horizon: int = 500, **kw):
+        robot = bb.build_digit()
+        q0 = bb.cassie_standing_pose(robot.model)
+        q0[2] = 1.0
+        kw.setdefault("base_height_min", 0.55)
+        super().__init__(robot, q0, step_dt=step_dt, horizon=horizon, **kw)
+
+
+class AtlasEnv(WalkerEnv):
+    """Atlas humanoid (reference `AtlasJiminyEnv`, `atlas.py:113`)."""
+
+    def __init__(self, step_dt: float = 0.04, horizon: int = 500,
+                 reduced: bool = False, **kw):
+        robot = bb.build_atlas(reduced=reduced)
+        q0 = bb.atlas_standing_pose(robot.model)
+        kw.setdefault("base_height_min", 0.55)
+        super().__init__(robot, q0, step_dt=step_dt, horizon=horizon, **kw)
+
+
+class AtlasReducedEnv(AtlasEnv):
+    """Atlas with arms/neck removed (reference `AtlasReducedJiminyEnv`)."""
+
+    def __init__(self, **kw):
+        kw["reduced"] = True
+        super().__init__(**kw)
+
+
+def AtlasPDControlEnv(step_dt: float = 0.04, horizon: int = 500,
+                      kp=0.4, kd=0.04, **kw):
+    """Reference `AtlasPDControlJiminyEnv` — the robot of the reference's own
+    headline benchmark (`pipeline_benchmark.py`)."""
+    env = AtlasEnv(step_dt=step_dt, horizon=horizon, **kw)
+    pd = PDController(kp=kp, kd=kd).setup(env)
+    return ControlledEnv(env, pd)
+
+
+def CassiePDControlEnv(step_dt: float = 0.04, horizon: int = 500,
+                       kp=0.5, kd=0.05, **kw):
+    env = CassieEnv(step_dt=step_dt, horizon=horizon, **kw)
+    pd = PDController(kp=kp, kd=kd).setup(env)
+    return ControlledEnv(env, pd)

@@ -52,6 +52,9 @@ class WalkerEnv(BaseEnv):
                 ),
                 controller_update_period=simulation_dt * 5,
                 sensor_update_period=simulation_dt * 5,
+                # Penalty bounds (stable inertia-scaled gains) enable the fused
+                # component-wise dynamics fast path for RL workloads.
+                joint_bounds_mode="penalty",
             )
         super().__init__(robot, options, step_dt=step_dt, horizon=horizon)
         self.nominal_q = jnp.asarray(nominal_q, self.engine.dtype)

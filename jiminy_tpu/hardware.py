@@ -1,0 +1,120 @@
+"""Hardware description files: TOML declaration of motors/sensors/contacts.
+
+Reference equivalents: `jiminy_py.robot.load_hardware_description_file`
+(`robot.py:518`) and `generate_default_hardware_description_file` (`robot.py:128`).
+
+Schema::
+
+    has_freeflyer = true
+
+    [Global]
+    contact_frames = ["LF_FOOT", ...]
+    loop_constraints = [["frame_a", "frame_b"], ...]
+
+    [Motor.SimpleMotor.LF_HAA]
+    joint_name = "LF_HAA"
+    mechanical_reduction = 50.0
+    armature = 1e-4
+
+    [Sensor.ImuSensor.base_imu]
+    frame_name = "base"
+
+    [Sensor.EncoderSensor.LF_HAA]
+    motor_name = "LF_HAA"
+
+    [Flexibility.LF_KFE]
+    joint_name = "LF_KFE"
+    stiffness = 1e4
+    damping = 100.0
+    inertia = 1e-3
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+from typing import Optional
+
+_SENSOR_KIND = {
+    "ImuSensor": "imu",
+    "EncoderSensor": "encoder",
+    "EffortSensor": "effort",
+    "ContactSensor": "contact",
+    "ForceSensor": "force",
+}
+
+
+def load_hardware_description_file(path: str) -> dict:
+    """Parse a `*_hardware.toml` into Robot.build keyword arguments."""
+    import tomllib
+
+    with open(path, "rb") as f:
+        data = tomllib.load(f)
+    out: dict = {
+        "has_freeflyer": bool(data.get("has_freeflyer", False)),
+        "motors": [],
+        "sensors": {},
+        "contact_frames": [],
+        "flexibility": [],
+        "loop_constraints": [],
+    }
+    glob = data.get("Global", {})
+    out["contact_frames"] = list(glob.get("contact_frames", []))
+    out["loop_constraints"] = [tuple(p) for p in glob.get("loop_constraints", [])]
+
+    for _kind, motors in data.get("Motor", {}).items():
+        for name, spec in motors.items():
+            spec = dict(spec)
+            spec.setdefault("name", name)
+            spec.setdefault("joint_name", name)
+            out["motors"].append(spec)
+
+    for sensor_type, sensors in data.get("Sensor", {}).items():
+        kind = _SENSOR_KIND.get(sensor_type)
+        if kind is None:
+            raise ValueError(f"unknown sensor type {sensor_type}")
+        lst = out["sensors"].setdefault(kind, [])
+        for name, spec in sensors.items():
+            spec = dict(spec)
+            spec.setdefault("name", name)
+            lst.append(spec)
+
+    for name, spec in data.get("Flexibility", {}).items():
+        spec = dict(spec)
+        spec.setdefault("joint_name", name)
+        out["flexibility"].append(spec)
+    return out
+
+
+def generate_default_hardware_description_file(
+    urdf_path: str, output_path: Optional[str] = None, verbose: bool = False
+) -> str:
+    """Generate a default hardware TOML from a URDF: one SimpleMotor + encoder +
+    effort sensor per actuated joint, an IMU on the root link, contact points on
+    leaf links (reference `generate_default_hardware_description_file`)."""
+    root = ET.parse(urdf_path).getroot()
+    lines = ["has_freeflyer = false", "", "[Global]"]
+    joints = [
+        j for j in root.findall("joint") if j.get("type") in ("revolute", "prismatic", "continuous")
+    ]
+    # Leaf links = candidates for contact frames
+    parents = {j.find("parent").get("link") for j in root.findall("joint")}
+    links = [ln.get("name") for ln in root.findall("link")]
+    leaves = [ln for ln in links if ln not in parents]
+    lines.append("contact_frames = [" + ", ".join(f'"{ln}"' for ln in leaves) + "]")
+    lines.append("")
+    for j in joints:
+        name = j.get("name")
+        lines += [f"[Motor.SimpleMotor.{name}]", f'joint_name = "{name}"',
+                  "mechanical_reduction = 1.0", ""]
+        lines += [f"[Sensor.EncoderSensor.{name}]", f'motor_name = "{name}"', ""]
+        lines += [f"[Sensor.EffortSensor.{name}]", f'motor_name = "{name}"', ""]
+    if links:
+        lines += [f"[Sensor.ImuSensor.{links[0]}]", f'frame_name = "{links[0]}"', ""]
+    text = "\n".join(lines)
+    if output_path is None:
+        import os
+
+        output_path = os.path.splitext(urdf_path)[0] + "_hardware.toml"
+    with open(output_path, "w") as f:
+        f.write(text)
+    return output_path

@@ -1,0 +1,620 @@
+"""Component-wise batched dynamics core — the TPU fast path.
+
+Why this exists: the generic `ops.dynamics` builds (..., 3, 3)/(…, 6, 6)
+tensor ops whose *feature* dims land in the TPU lane dimension — at batch B the
+VPU runs at ~2% lane utilization and the ABA compiles to thousands of tiny
+un-fusable contractions (measured ~6 ms per 2048-env ABA on v5e).  Here every
+scalar component of every spatial quantity is its own (B,) array and every
+operation is a plain elementwise mul/add over the env batch — XLA fuses the
+whole tree sweep into a handful of VPU kernels with lanes fully occupied by
+envs.  This is the struct-of-arrays "scalar SSA over env vectors" formulation;
+it is also the exact layout a Pallas kernel would use, so kernels can later be
+carved out without changing the math.
+
+Supported models (checked by `supports_model`): fixed base or FREE root joint,
+all other joints 1-dof REVOLUTE/PRISMATIC.  Semantics match `ops.dynamics.aba`
++ `engine.contact` bit-for-bit at matched precision (validated in
+tests/test_cdyn.py); reference: `pinocchio_overload_algorithms.h` (ABA with
+armature), `engine.cc:3117-3238` (spring-damper contact).
+
+Everything static (joint placements, axes, inertias, limits) is baked in as
+Python floats at trace time — zero constant traffic at runtime.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from jiminy_tpu.models import joints as jt
+from jiminy_tpu.models.model import RobotModel
+
+# --------------------------------------------------------------------------- #
+# Scalar-component linear algebra: V3 = [x, y, z], M3 = 3x3 nested list.
+# Entries are jnp arrays of identical shape (the env batch) or python floats.
+# --------------------------------------------------------------------------- #
+
+
+def v3(x=0.0, y=0.0, z=0.0):
+    return [x, y, z]
+
+
+def v_add(a, b):
+    return [a[0] + b[0], a[1] + b[1], a[2] + b[2]]
+
+
+def v_sub(a, b):
+    return [a[0] - b[0], a[1] - b[1], a[2] - b[2]]
+
+
+def v_scale(a, s):
+    return [a[0] * s, a[1] * s, a[2] * s]
+
+
+def v_dot(a, b):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def v_cross(a, b):
+    return [
+        a[1] * b[2] - a[2] * b[1],
+        a[2] * b[0] - a[0] * b[2],
+        a[0] * b[1] - a[1] * b[0],
+    ]
+
+
+def m_identity():
+    return [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+
+
+def m_mv(m, v):
+    return [
+        m[0][0] * v[0] + m[0][1] * v[1] + m[0][2] * v[2],
+        m[1][0] * v[0] + m[1][1] * v[1] + m[1][2] * v[2],
+        m[2][0] * v[0] + m[2][1] * v[1] + m[2][2] * v[2],
+    ]
+
+
+def m_tv(m, v):
+    """m^T @ v"""
+    return [
+        m[0][0] * v[0] + m[1][0] * v[1] + m[2][0] * v[2],
+        m[0][1] * v[0] + m[1][1] * v[1] + m[2][1] * v[2],
+        m[0][2] * v[0] + m[1][2] * v[1] + m[2][2] * v[2],
+    ]
+
+
+def m_mm(a, b):
+    return [
+        [sum(a[i][k] * b[k][j] for k in range(3)) for j in range(3)] for i in range(3)
+    ]
+
+
+def m_add(a, b):
+    return [[a[i][j] + b[i][j] for j in range(3)] for i in range(3)]
+
+
+def rodrigues(axis, q):
+    """Rotation matrix exp(axis * q); axis = python float triple (constant)."""
+    c, s = jnp.cos(q), jnp.sin(q)
+    x, y, z = axis
+    one_c = 1.0 - c
+    return [
+        [c + x * x * one_c, x * y * one_c - z * s, x * z * one_c + y * s],
+        [y * x * one_c + z * s, c + y * y * one_c, y * z * one_c - x * s],
+        [z * x * one_c - y * s, z * y * one_c + x * s, c + z * z * one_c],
+    ]
+
+
+def quat_to_m(qx, qy, qz, qw):
+    xx, yy, zz = qx * qx, qy * qy, qz * qz
+    xy, xz, yz = qx * qy, qx * qz, qy * qz
+    wx, wy, wz = qw * qx, qw * qy, qw * qz
+    return [
+        [1 - 2 * (yy + zz), 2 * (xy - wz), 2 * (xz + wy)],
+        [2 * (xy + wz), 1 - 2 * (xx + zz), 2 * (yz - wx)],
+        [2 * (xz - wy), 2 * (yz + wx), 1 - 2 * (xx + yy)],
+    ]
+
+
+# Symmetric 6x6 (articulated spatial inertia) as a python 6x6 list of (B,)
+# entries in (ang, lin) block order; only built/updated through helpers.
+
+
+def sym6_from_body(mass, com, inertia_c):
+    """Spatial inertia about the joint origin: [[I_O, m c^], [m c^T^, m I]]."""
+    cx, cy, cz = com
+    m = mass
+    # skew(c)
+    sc = [[0.0, -cz, cy], [cz, 0.0, -cx], [-cy, cx, 0.0]]
+    # I_O = I_C - m * sc @ sc
+    scsc = [[sum(sc[i][k] * sc[k][j] for k in range(3)) for j in range(3)] for i in range(3)]
+    top_left = [[inertia_c[i][j] - m * scsc[i][j] for j in range(3)] for i in range(3)]
+    out = [[0.0] * 6 for _ in range(6)]
+    for i in range(3):
+        for j in range(3):
+            out[i][j] = top_left[i][j]
+            out[i][3 + j] = m * sc[i][j]
+            out[3 + i][j] = m * sc[j][i]
+            out[3 + i][3 + j] = m * (1.0 if i == j else 0.0)
+    return out
+
+
+def sym6_mv(m6, ang, lin):
+    """(6x6) @ (ang, lin) -> (ang', lin')."""
+    out = []
+    vec = [*ang, *lin]
+    for i in range(6):
+        out.append(sum(m6[i][j] * vec[j] for j in range(6)))
+    return out[:3], out[3:]
+
+
+def solve_sym6(m6, rhs):
+    """Solve symmetric positive definite 6x6 via unrolled Cholesky (LDL^T)."""
+    # LDL^T decomposition on python 6x6 of (B,) arrays
+    n = 6
+    l = [[0.0] * n for _ in range(n)]
+    d = [0.0] * n
+    for j in range(n):
+        dj = m6[j][j]
+        for k in range(j):
+            dj = dj - l[j][k] * l[j][k] * d[k]
+        d[j] = dj
+        inv_dj = 1.0 / dj
+        for i in range(j + 1, n):
+            s = m6[i][j]
+            for k in range(j):
+                s = s - l[i][k] * l[j][k] * d[k]
+            l[i][j] = s * inv_dj
+    # Forward solve L y = rhs
+    y = list(rhs)
+    for i in range(n):
+        for k in range(i):
+            y[i] = y[i] - l[i][k] * y[k]
+    # Diagonal
+    for i in range(n):
+        y[i] = y[i] / d[i]
+    # Backward solve L^T x = y
+    for i in reversed(range(n)):
+        for k in range(i + 1, n):
+            y[i] = y[i] - l[k][i] * y[k]
+    return y
+
+
+# --------------------------------------------------------------------------- #
+# Model support check + constant extraction
+# --------------------------------------------------------------------------- #
+
+
+def supports_model(model: RobotModel) -> bool:
+    for i, t in enumerate(model.joint_types):
+        t = jt.JointType(t)
+        if i == 0 and t == jt.JointType.FREE:
+            continue
+        if t not in (jt.JointType.REVOLUTE, jt.JointType.PRISMATIC):
+            return False
+    return True
+
+
+class _Consts:
+    """Static per-joint constants as python floats (baked into the program)."""
+
+    def __init__(self, model: RobotModel):
+        self.nj = model.njoints
+        self.parents = model.parents
+        self.types = [jt.JointType(t) for t in model.joint_types]
+        self.idx_q = model.idx_q
+        self.idx_v = model.idx_v
+        self.rot = np.asarray(model.jplacement_rot, dtype=np.float64)
+        self.pos = np.asarray(model.jplacement_pos, dtype=np.float64)
+        self.axis = np.asarray(model.joint_axes, dtype=np.float64)
+        self.mass = np.asarray(model.mass, dtype=np.float64)
+        self.com = np.asarray(model.com, dtype=np.float64)
+        self.inertia = np.asarray(model.inertia, dtype=np.float64)
+        self.armature = np.asarray(model.armature, dtype=np.float64)
+        self.frame_parents = model.frame_parents
+        self.frot = np.asarray(model.fplacement_rot, dtype=np.float64)
+        self.fpos = np.asarray(model.fplacement_pos, dtype=np.float64)
+        self.has_free_root = bool(self.types) and self.types[0] == jt.JointType.FREE
+
+
+# --------------------------------------------------------------------------- #
+# The fused dynamics evaluation
+# --------------------------------------------------------------------------- #
+
+
+class ComponentDynamics:
+    """Fused spring-damper forward dynamics for one robot model.
+
+    `accel(q, v, u)`: (..., nq), (..., nv), (..., nv) -> (..., nv) acceleration,
+    identical to `aba(model, g, q, v, u + contact + bounds ...)` on the generic
+    path.  All tree loops unroll at trace time; every op is elementwise over
+    the batch.
+    """
+
+    def __init__(
+        self,
+        model: RobotModel,
+        gravity,
+        contact_opts=None,
+        contact_frames: tuple = (),
+        ground_fn: Optional[Callable] = None,
+        bound_gains: Optional[dict] = None,
+    ):
+        if not supports_model(model):
+            raise ValueError("ComponentDynamics: unsupported joint types")
+        self.c = _Consts(model)
+        self.model = model
+        self.gravity = tuple(float(g) for g in np.asarray(gravity))
+        self.contact_opts = contact_opts
+        self.contact_frames = tuple(contact_frames)
+        self.ground_fn = ground_fn
+        # Optional stable penalty bounds: {vidx: (lo, hi, kp, kd)}
+        self.bound_gains = bound_gains or {}
+
+    # ---------------- kinematics ----------------
+    def _joint_x(self, q):
+        """Per-joint placement in parent joint frame: (M3, V3) lists."""
+        c = self.c
+        xs = []
+        for i in range(c.nj):
+            tree_r = c.rot[i].tolist()
+            tree_p = c.pos[i].tolist()
+            if c.types[i] == jt.JointType.FREE:
+                qi = c.idx_q[i]
+                rot_j = quat_to_m(
+                    q[..., qi + 3], q[..., qi + 4], q[..., qi + 5], q[..., qi + 6]
+                )
+                pos_j = [q[..., qi], q[..., qi + 1], q[..., qi + 2]]
+                rot = m_mm(tree_r, rot_j)
+                pos = v_add(m_mv(tree_r, pos_j), tree_p)
+            elif c.types[i] == jt.JointType.REVOLUTE:
+                rot_j = rodrigues(c.axis[i].tolist(), q[..., c.idx_q[i]])
+                rot = m_mm(tree_r, rot_j)
+                pos = tree_p
+            else:  # PRISMATIC
+                rot = tree_r
+                disp = v_scale(c.axis[i].tolist(), q[..., c.idx_q[i]])
+                pos = v_add(m_mv(tree_r, disp), tree_p)
+            xs.append((rot, pos))
+        return xs
+
+    def _world_placements(self, xs):
+        c = self.c
+        world = []
+        for i in range(c.nj):
+            rot_i, pos_i = xs[i]
+            p = c.parents[i]
+            if p < 0:
+                world.append((rot_i, pos_i))
+            else:
+                rw, pw = world[p]
+                world.append((m_mm(rw, rot_i), v_add(m_mv(rw, pos_i), pw)))
+        return world
+
+    # ---------------- contact ----------------
+    def _contact_fext(self, xs, world, vel):
+        """Spring-damper ground forces -> per-joint LOCAL wrench components
+        ((ang V3, lin V3) per joint) + world forces per contact (V3)."""
+        c = self.c
+        opts = self.contact_opts
+        fext = [None] * c.nj
+        f_world_all = []
+        for fidx in self.contact_frames:
+            parent = c.frame_parents[fidx]
+            fp = c.fpos[fidx].tolist()
+            rw, pw = world[parent]
+            # Contact point world position
+            pc = v_add(m_mv(rw, fp), pw)
+            # Point velocity (world axes): R_w (v_lin + w x fp)
+            w_l, v_l = vel[parent]
+            v_pt = v_add(v_l, v_cross(w_l, fp))
+            v_w = m_mv(rw, v_pt)
+            if self.ground_fn is None:
+                h = 0.0
+                n = [0.0, 0.0, 1.0]
+                depth = pc[2]
+                v_depth = v_w[2]
+            else:
+                xy = jnp.stack(
+                    jnp.broadcast_arrays(pc[0], pc[1]), axis=-1
+                )
+                h, n_arr = self.ground_fn(xy)
+                n = [n_arr[..., 0], n_arr[..., 1], n_arr[..., 2]]
+                nn = jnp.sqrt(jnp.maximum(v_dot(n, n), 1e-24))
+                n = v_scale(n, 1.0 / nn)
+                depth = (pc[2] - h) * n[2]
+                v_depth = v_dot(v_w, n)
+            f_normal = -jnp.minimum(opts.stiffness * depth + opts.damping * v_depth, 0.0)
+            fw = v_scale(n, f_normal)
+            # Saturated tangential friction
+            v_tang = v_sub(v_w, v_scale(n, v_depth))
+            v_norm = jnp.sqrt(jnp.maximum(v_dot(v_tang, v_tang), 1e-24))
+            v_ratio = jnp.minimum(v_norm / opts.transition_velocity, 1.0)
+            scale_t = opts.friction * v_ratio * f_normal / v_norm
+            fw = v_sub(fw, v_scale(v_tang, scale_t))
+            if opts.transition_eps > 1e-12:
+                blend = jnp.tanh(2.0 * (-depth) / opts.transition_eps)
+                fw = v_scale(fw, blend)
+            active = depth < 0.0
+            fw = [jnp.where(active, comp, 0.0) for comp in fw]
+            f_world_all.append(fw)
+            # Transport to parent joint origin, LOCAL frame
+            lever = v_sub(pc, pw)
+            tau_w = v_cross(lever, fw)
+            f_j = m_tv(rw, fw)
+            n_j = m_tv(rw, tau_w)
+            if fext[parent] is None:
+                fext[parent] = (n_j, f_j)
+            else:
+                pa, pl = fext[parent]
+                fext[parent] = (v_add(pa, n_j), v_add(pl, f_j))
+        return fext, f_world_all
+
+    # ---------------- main evaluation ----------------
+    def accel(self, q, v, tau, return_contacts: bool = False):
+        c = self.c
+        xs = self._joint_x(q)
+
+        # Pass 1: velocities + bias, and body-frame articulated inertia init
+        vel = [None] * c.nj  # (ang V3, lin V3) in LOCAL joint frame
+        bias = [None] * c.nj
+        ia = [None] * c.nj  # 6x6 symmetric python lists
+        pa = [None] * c.nj  # (V3, V3) bias force
+        svec = [None] * c.nj  # 1-dof motion subspace as (ang, lin) python consts
+        for i in range(c.nj):
+            rot_i, pos_i = xs[i]
+            p = c.parents[i]
+            if p < 0:
+                w_p, v_p = v3(), v3()
+            else:
+                w_p, v_p = vel[p]
+            # X^-1 act: w = R^T w_p ; v = R^T (v_p - pos x w_p)
+            w_in = m_tv(rot_i, w_p)
+            v_in = m_tv(rot_i, v_sub(v_p, v_cross(pos_i, w_p)))
+            if c.types[i] == jt.JointType.FREE:
+                vi = c.idx_v[i]
+                vj_lin = [v[..., vi], v[..., vi + 1], v[..., vi + 2]]
+                vj_ang = [v[..., vi + 3], v[..., vi + 4], v[..., vi + 5]]
+            else:
+                ax = c.axis[i].tolist()
+                qd = v[..., c.idx_v[i]]
+                if c.types[i] == jt.JointType.REVOLUTE:
+                    vj_ang, vj_lin = v_scale(ax, qd), v3()
+                    svec[i] = (ax, (0.0, 0.0, 0.0))
+                else:
+                    vj_ang, vj_lin = v3(), v_scale(ax, qd)
+                    svec[i] = ((0.0, 0.0, 0.0), ax)
+            w_i = v_add(w_in, vj_ang)
+            v_i = v_add(v_in, vj_lin)
+            vel[i] = (w_i, v_i)
+            # bias c_i = v_i x vj  (motion cross)
+            b_ang = v_cross(w_i, vj_ang)
+            b_lin = v_add(v_cross(w_i, vj_lin), v_cross(v_i, vj_ang))
+            bias[i] = (b_ang, b_lin)
+            ia[i] = sym6_from_body(
+                float(c.mass[i]), c.com[i].tolist(), c.inertia[i].tolist()
+            )
+            # pa = v x* (I v)
+            iv_a, iv_l = sym6_mv(ia[i], w_i, v_i)
+            pa_ang = v_add(v_cross(w_i, iv_a), v_cross(v_i, iv_l))
+            pa_lin = v_cross(w_i, iv_l)
+            pa[i] = (pa_ang, pa_lin)
+
+        # Contacts subtract from pa (fext in LOCAL joint coords)
+        world = None
+        f_world_all = []
+        if self.contact_frames and self.contact_opts is not None:
+            world = self._world_placements(xs)
+            fext, f_world_all = self._contact_fext(xs, world, vel)
+            for i in range(c.nj):
+                if fext[i] is not None:
+                    pa_a, pa_l = pa[i]
+                    pa[i] = (v_sub(pa_a, fext[i][0]), v_sub(pa_l, fext[i][1]))
+
+        # Stable penalty joint bounds (optional)
+        tau_extra = {}
+        for vi, entry in self.bound_gains.items():
+            if len(entry) == 5:
+                lo, hi, kp, kd, qi = entry
+            else:
+                lo, hi, kp, kd = entry
+                qi = None
+                for j in range(c.nj):
+                    if c.idx_v[j] == vi and c.types[j] in (
+                        jt.JointType.REVOLUTE,
+                        jt.JointType.PRISMATIC,
+                    ):
+                        qi = c.idx_q[j]
+            if qi is None:
+                continue
+            qj = q[..., qi]
+            vj = v[..., vi]
+            over = jnp.maximum(qj - hi, 0.0)
+            under = jnp.maximum(lo - qj, 0.0)
+            active = (over > 0.0) | (under > 0.0)
+            tau_extra[vi] = kp * (under - over) - jnp.where(active, kd * vj, 0.0)
+
+        # Pass 2: articulated inertia, inward
+        u_of = [None] * c.nj  # U = IA S (6-vector as (ang, lin))
+        d_inv = [None] * c.nj
+        u_rhs = [None] * c.nj
+        ia_root = None
+        for i in reversed(range(c.nj)):
+            rot_i, pos_i = xs[i]
+            p = c.parents[i]
+            if c.types[i] == jt.JointType.FREE:
+                ia_root = ia[i]
+                continue
+            ax_a, ax_l = svec[i]
+            s6 = [*ax_a, *ax_l]
+            ua, ul = sym6_mv(ia[i], list(ax_a), list(ax_l))
+            u6 = [*ua, *ul]
+            vi = c.idx_v[i]
+            d = sum(s6[k] * u6[k] for k in range(6)) + float(c.armature[vi])
+            dinv = 1.0 / d
+            pa_a, pa_l = pa[i]
+            pa6 = [*pa_a, *pa_l]
+            u_r = tau[..., vi] + tau_extra.get(vi, 0.0) - sum(
+                s6[k] * pa6[k] for k in range(6)
+            )
+            u_of[i], d_inv[i], u_rhs[i] = u6, dinv, u_r
+            if p >= 0:
+                # Ia = IA - U U^T / d ;  pa' = pa + Ia*bias + U*(u/d)
+                ia_a = [
+                    [ia[i][r][col] - u6[r] * u6[col] * dinv for col in range(6)]
+                    for r in range(6)
+                ]
+                b_a, b_l = bias[i]
+                iab_a, iab_l = sym6_mv(ia_a, b_a, b_l)
+                coef = u_r * dinv
+                pa_n = [
+                    pa6[k] + [*iab_a, *iab_l][k] + u6[k] * coef for k in range(6)
+                ]
+                # Transform to parent: IA_p += X_f Ia X_m^-1, pa_p += force_act(X, pa_n)
+                ia_p = _transform_sym6(ia_a, rot_i, pos_i)
+                for r in range(6):
+                    for col in range(6):
+                        ia[p][r][col] = ia[p][r][col] + ia_p[r][col]
+                n_b, f_b = pa_n[:3], pa_n[3:]
+                f_a = m_mv(rot_i, f_b)
+                n_a = v_add(m_mv(rot_i, n_b), v_cross(pos_i, f_a))
+                pp_a, pp_l = pa[p]
+                pa[p] = (v_add(pp_a, n_a), v_add(pp_l, f_a))
+
+        # Pass 3: outward accelerations
+        g = self.gravity
+        a0 = ([0.0, 0.0, 0.0], [-g[0], -g[1], -g[2]])  # -gravity trick
+        acc = [None] * c.nj
+        qdd_parts = {}
+        for i in range(c.nj):
+            rot_i, pos_i = xs[i]
+            p = c.parents[i]
+            a_p = acc[p] if p >= 0 else a0
+            aw_in = m_tv(rot_i, a_p[0])
+            al_in = m_tv(rot_i, v_sub(a_p[1], v_cross(pos_i, a_p[0])))
+            b_a, b_l = bias[i]
+            am_a = v_add(aw_in, b_a)
+            am_l = v_add(al_in, b_l)
+            if c.types[i] == jt.JointType.FREE:
+                vi = c.idx_v[i]
+                # D = S^T IA S with S=(lin,ang)->(ang,lin) permutation:
+                # D[[0:3],[0:3]] = C, D[0:3,3:6] = B^T, D[3:6,3:6] = A
+                m6 = [[None] * 6 for _ in range(6)]
+                for r in range(6):
+                    for col in range(6):
+                        rr = (r + 3) % 6
+                        cc = (col + 3) % 6
+                        val = ia_root[rr][cc]
+                        m6[r][col] = val
+                arm = [float(c.armature[vi + k]) for k in range(6)]
+                for k in range(6):
+                    m6[k][k] = m6[k][k] + arm[k]
+                pa_a, pa_l = pa[i]
+                # u = tau - S^T pa ; S^T pa = (pa_lin, pa_ang)
+                rhs = [
+                    tau[..., vi + 0] - pa_l[0],
+                    tau[..., vi + 1] - pa_l[1],
+                    tau[..., vi + 2] - pa_l[2],
+                    tau[..., vi + 3] - pa_a[0],
+                    tau[..., vi + 4] - pa_a[1],
+                    tau[..., vi + 5] - pa_a[2],
+                ]
+                # subtract U^T a_mid = (IA a_mid) permuted
+                iam_a, iam_l = sym6_mv(ia_root, am_a, am_l)
+                rhs = [
+                    rhs[0] - iam_l[0],
+                    rhs[1] - iam_l[1],
+                    rhs[2] - iam_l[2],
+                    rhs[3] - iam_a[0],
+                    rhs[4] - iam_a[1],
+                    rhs[5] - iam_a[2],
+                ]
+                qdd6 = solve_sym6(m6, rhs)
+                for k in range(6):
+                    qdd_parts[vi + k] = qdd6[k]
+                aj_ang = qdd6[3:6]
+                aj_lin = qdd6[0:3]
+                acc[i] = (v_add(am_a, aj_ang), v_add(am_l, aj_lin))
+            else:
+                vi = c.idx_v[i]
+                u6 = u_of[i]
+                am6 = [*am_a, *am_l]
+                qdd = d_inv[i] * (u_rhs[i] - sum(u6[k] * am6[k] for k in range(6)))
+                qdd_parts[vi] = qdd
+                ax_a, ax_l = svec[i]
+                acc[i] = (
+                    v_add(am_a, v_scale(list(ax_a), qdd)),
+                    v_add(am_l, v_scale(list(ax_l), qdd)),
+                )
+
+        nv = self.model.nv
+        batch = jnp.broadcast_shapes(
+            *[jnp.shape(val) for val in qdd_parts.values()]
+        )
+        cols = [jnp.broadcast_to(qdd_parts[k], batch) for k in range(nv)]
+        qdd_full = jnp.stack(cols, axis=-1)
+        if return_contacts:
+            fw = (
+                jnp.stack(
+                    [jnp.stack(jnp.broadcast_arrays(*f), axis=-1) for f in f_world_all],
+                    axis=-2,
+                )
+                if f_world_all
+                else jnp.zeros(batch + (0, 3), qdd_full.dtype)
+            )
+            return qdd_full, fw
+        return qdd_full
+
+
+def _transform_sym6(ia6, rot, pos):
+    """I_parent = X_F I X_M^{-1} for placement (rot, pos) of child in parent,
+    (ang, lin) block layout — component-wise version of `lie.inertia_transform`.
+
+    With blocks I = [[A, B], [B^T, C]]:
+      A' = R (A + p^x_h...)  — implemented as the explicit congruence:
+      M = [[R, 0], [S R, R]] with S = skew(p):     (motion child->parent)
+      I' = M_F I M_M^{-1},  M_F = [[R, S R], [0, R]], M_M^{-1} = [[R^T,0],[-R^T S, R^T]]
+    Expanded:
+      A' = R A R^T + S R B^T R^T + (R B + S R C) (R^T S)^T ... done blockwise below.
+    """
+    a = [[ia6[i][j] for j in range(3)] for i in range(3)]
+    b = [[ia6[i][3 + j] for j in range(3)] for i in range(3)]
+    bt = [[ia6[3 + i][j] for j in range(3)] for i in range(3)]
+    cc = [[ia6[3 + i][3 + j] for j in range(3)] for i in range(3)]
+    s = [[0.0, -pos[2], pos[1]], [pos[2], 0.0, -pos[0]], [-pos[1], pos[0], 0.0]]
+
+    def mt(m):
+        return [[m[j][i] for j in range(3)] for i in range(3)]
+
+    r = rot
+    rt = mt(r)
+    # X_F I = [[R A + S R B^T, R B + S R C], [R B^T, R C]]
+    ra = m_mm(r, a)
+    rbt = m_mm(r, bt)
+    rb = m_mm(r, b)
+    rc = m_mm(r, cc)
+    sr_bt = m_mm(s, rbt)
+    sr_c = m_mm(s, rc)
+    top_l = m_add(ra, sr_bt)
+    top_r = m_add(rb, sr_c)
+    bot_l = rbt
+    bot_r = rc
+    # (X_F I) X_M^{-1} with X_M^{-1} = [[R^T, 0], [-R^T S, R^T]]
+    # out_tl = top_l R^T + top_r (-R^T S) ... careful: -R^T S applied as right mult
+    neg_rts = [[-x for x in row] for row in m_mm(rt, s)]
+    out_tl = m_add(m_mm(top_l, rt), m_mm(top_r, neg_rts))
+    out_tr = m_mm(top_r, rt)
+    out_bl = m_add(m_mm(bot_l, rt), m_mm(bot_r, neg_rts))
+    out_br = m_mm(bot_r, rt)
+    out = [[None] * 6 for _ in range(6)]
+    for i in range(3):
+        for j in range(3):
+            out[i][j] = out_tl[i][j]
+            out[i][3 + j] = out_tr[i][j]
+            out[3 + i][j] = out_bl[i][j]
+            out[3 + i][3 + j] = out_br[i][j]
+    return out

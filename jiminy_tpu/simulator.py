@@ -1,0 +1,192 @@
+"""Simulator: the single-entry convenience facade (reference
+`jiminy_py.simulator.Simulator`, `python/jiminy_py/src/jiminy_py/simulator.py`).
+
+Build a robot from URDF + hardware TOML, configure the engine from TOML/JSON,
+seed, run simulations, record/export logs, and plot — while everything under the
+hood stays pure-functional (the facade owns the current `SimState`)."""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jiminy_tpu.engine import Engine, EngineOptions, Robot
+from jiminy_tpu.engine.state import SimState
+from jiminy_tpu.hardware import load_hardware_description_file
+from jiminy_tpu.telemetry import LogData, TelemetryRecorder, write_hdf5, write_log
+
+
+class Simulator:
+    """Single-robot simulation facade.
+
+    - `Simulator.build(urdf, hardware_path=None, ...)` (reference
+      `Simulator.build`, simulator.py:197)
+    - `seed`, `start`, `step`, `simulate`, `stop`, `write_log`
+    - `export_options` / `import_options` TOML/JSON round trip
+      (reference simulator.py:995-1062)
+    """
+
+    def __init__(self, robot: Robot, options: Optional[EngineOptions] = None):
+        self.robot = robot
+        self.engine = Engine(robot, options)
+        self.state: Optional[SimState] = None
+        self._seed = 0
+        self._recorder: Optional[TelemetryRecorder] = None
+        self._log: Optional[LogData] = None
+        self._is_running = False
+
+    # ------------------------------------------------------------------ #
+    @staticmethod
+    def build(
+        urdf_path: str,
+        hardware_path: Optional[str] = None,
+        has_freeflyer: bool = False,
+        options: Optional[EngineOptions] = None,
+        **robot_kwargs,
+    ) -> "Simulator":
+        """Build from a URDF and an optional `*_hardware.toml` (reference
+        `BaseJiminyRobot` + hardware file, `robot.py:518`)."""
+        if hardware_path is None:
+            guess = os.path.splitext(urdf_path)[0] + "_hardware.toml"
+            hardware_path = guess if os.path.exists(guess) else None
+        hw = load_hardware_description_file(hardware_path) if hardware_path else {}
+        robot = Robot.build(
+            urdf_path,
+            has_freeflyer=hw.get("has_freeflyer", has_freeflyer),
+            motors=hw.get("motors", ()),
+            sensors=hw.get("sensors", None),
+            contact_frames=hw.get("contact_frames", ()),
+            flexibility=hw.get("flexibility", ()),
+            loop_constraints=hw.get("loop_constraints", ()),
+            **robot_kwargs,
+        )
+        return Simulator(robot, options)
+
+    # ------------------------------------------------------------------ #
+    def seed(self, seed: int) -> None:
+        """Reseed the simulation RNG (reference `Simulator.seed`, :525)."""
+        self._seed = int(seed)
+
+    def start(self, q_init, v_init=None) -> None:
+        """Initialize a new simulation (reference `Simulator.start`)."""
+        key = jax.random.PRNGKey(self._seed)
+        self.state = self.engine.reset(jnp.asarray(q_init), v_init, key=key)
+        self._recorder = TelemetryRecorder(self.engine)
+        self._columns = []
+        self._is_running = True
+        self._step_jit = jax.jit(self.engine.step)
+        self._columns.append(self._recorder.snapshot(self.state))
+
+    def step(self, command=None) -> SimState:
+        if not self._is_running:
+            raise RuntimeError("No simulation running — call `start` first.")
+        self.state = self._step_jit(self.state, command)
+        self._columns.append(self._recorder.snapshot(self.state))
+        return self.state
+
+    def simulate(
+        self,
+        t_end: float,
+        q_init,
+        v_init=None,
+        callback: Optional[Callable] = None,
+    ) -> LogData:
+        """Run a complete simulation (reference `Simulator.simulate`, :605)."""
+        self.start(q_init, v_init)
+        n_steps = int(round(t_end / self.engine.control_period))
+        final, log = self._recorder.record(self.state, n_steps)
+        self.state = final
+        self._log = log
+        self._is_running = False
+        return log
+
+    def stop(self) -> LogData:
+        """Finalize and collect the log of a stepped simulation."""
+        self._is_running = False
+        if self._columns:
+            import numpy as _np
+
+            variables = {
+                k: _np.asarray(jnp.stack([c[k] for c in self._columns]))
+                for k in self._columns[0]
+            }
+            self._log = LogData(constants=self._recorder._constants(), variables=variables)
+        return self._log
+
+    @property
+    def log_data(self) -> Optional[LogData]:
+        return self._log
+
+    def write_log(self, path: str, format: str = "binary") -> None:
+        """Export the last log (reference `Engine::writeLog`: binary or HDF5)."""
+        if self._log is None:
+            raise RuntimeError("no log recorded")
+        if format in ("binary", "tlmc"):
+            write_log(path, self._log)
+        elif format == "hdf5":
+            write_hdf5(path, self._log)
+        else:
+            raise ValueError(f"unknown log format {format}")
+
+    # ------------------------------------------------------------------ #
+    def export_options(self, path: str) -> None:
+        d = self.engine.options.to_dict()
+        if path.endswith(".json"):
+            with open(path, "w") as f:
+                json.dump(d, f, indent=2)
+        else:
+            _write_toml(path, d)
+
+    def import_options(self, path: str) -> None:
+        if path.endswith(".json"):
+            with open(path) as f:
+                d = json.load(f)
+        else:
+            import tomllib
+
+            with open(path, "rb") as f:
+                d = tomllib.load(f)
+        self.engine = Engine(self.robot, EngineOptions.from_dict(d))
+
+    def plot(self, **kwargs):
+        """Standard telemetry plots (reference `Simulator.plot`, :945)."""
+        from jiminy_tpu.plot import plot_log
+
+        if self._log is None:
+            raise RuntimeError("no log recorded")
+        return plot_log(self._log, **kwargs)
+
+
+def _write_toml(path: str, d: dict, prefix: str = "") -> None:
+    """Minimal TOML writer for nested dicts of scalars."""
+    lines = []
+
+    def emit(d, prefix):
+        scalars = {
+            k: v for k, v in d.items() if not isinstance(v, dict) and v is not None
+        }
+        tables = {k: v for k, v in d.items() if isinstance(v, dict)}
+        if prefix and scalars:
+            lines.append(f"[{prefix}]")
+        for k, v in scalars.items():
+            if isinstance(v, bool):
+                sv = "true" if v else "false"
+            elif isinstance(v, str):
+                sv = f'"{v}"'
+            elif isinstance(v, (list, tuple)):
+                sv = "[" + ", ".join(str(float(x)) for x in v) + "]"
+            else:
+                sv = repr(v)
+            lines.append(f"{k} = {sv}")
+        for k, v in tables.items():
+            lines.append("")
+            emit(v, f"{prefix}.{k}" if prefix else k)
+
+    emit(d, prefix)
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")

@@ -1,0 +1,25 @@
+"""Utilities: random processes, procedural terrain, helpers."""
+
+from jiminy_tpu.utils.terrain import (
+    PeriodicFourierProcess,
+    PeriodicGaussianProcess,
+    discretize_heightmap,
+    merge_heightmaps,
+    periodic_perlin_ground,
+    periodic_stairs_ground,
+    random_perlin_ground,
+    sum_heightmaps,
+    unidirectional_random_perlin_ground,
+)
+
+__all__ = [
+    "PeriodicGaussianProcess",
+    "PeriodicFourierProcess",
+    "periodic_stairs_ground",
+    "random_perlin_ground",
+    "periodic_perlin_ground",
+    "unidirectional_random_perlin_ground",
+    "sum_heightmaps",
+    "merge_heightmaps",
+    "discretize_heightmap",
+]

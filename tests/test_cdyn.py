@@ -1,0 +1,144 @@
+"""Component-wise fused dynamics (cdyn) vs the generic spatial-algebra path:
+must match bit-for-bit at float64 (it is the same math, reassociated)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jiminy_tpu.engine import Engine, EngineOptions, Robot
+from jiminy_tpu.engine.config import ContactOptions, StepperOptions
+from jiminy_tpu.engine.contact import compute_contact_forces
+from jiminy_tpu.envs.builders import anymal_standing_pose, build_anymal, build_cartpole
+from jiminy_tpu.models import JointType, build_model
+from jiminy_tpu.ops import cdyn
+from jiminy_tpu.ops import dynamics as dyn
+from jiminy_tpu.ops import lie
+from jiminy_tpu.ops.kinematics import forward_kinematics
+
+GRAV = jnp.asarray([0.0, 0.0, -9.81])
+RNG = np.random.default_rng(0)
+
+
+def test_cdyn_matches_generic_cartpole():
+    model = build_cartpole().model
+    qs = jnp.asarray(RNG.normal(size=(6, model.nq)))
+    vs = jnp.asarray(RNG.normal(size=(6, model.nv)))
+    taus = jnp.asarray(RNG.normal(size=(6, model.nv)))
+    ref = dyn.aba(model, GRAV, qs, vs, taus)
+    out = cdyn.ComponentDynamics(model, GRAV).accel(qs, vs, taus)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-11)
+
+
+def test_cdyn_matches_generic_anymal_freeflyer():
+    model = build_anymal().model
+    B = 5
+    q0 = anymal_standing_pose(model)
+    qs = np.tile(q0, (B, 1))
+    qs[:, :3] += RNG.normal(size=(B, 3)) * 0.1
+    qs[:, 7:] += RNG.normal(size=(B, model.nq - 7)) * 0.3
+    dq = np.asarray(lie.exp3(jnp.asarray(RNG.normal(size=(B, 3)) * 0.3)))
+    for b in range(B):
+        qn = np.asarray(lie.quat_mul(jnp.asarray(qs[b, 3:7]), jnp.asarray(dq[b])))
+        qs[b, 3:7] = qn / np.linalg.norm(qn)
+    qs = jnp.asarray(qs)
+    vs = jnp.asarray(RNG.normal(size=(B, model.nv)))
+    taus = jnp.asarray(RNG.normal(size=(B, model.nv)))
+    ref = dyn.aba(model, GRAV, qs, vs, taus)
+    out = cdyn.ComponentDynamics(model, GRAV).accel(qs, vs, taus)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-10)
+
+
+def test_cdyn_contact_matches_generic():
+    robot = build_anymal()
+    model = robot.model
+    opts = ContactOptions(stiffness=1e5, damping=2e3, friction=1.0)
+    q0 = jnp.asarray(anymal_standing_pose(model))
+    qs = jnp.tile(q0, (4, 1)).at[:, 2].add(jnp.array([-0.02, -0.005, 0.0, 0.01]))
+    vs = jnp.asarray(RNG.normal(size=(4, model.nv)) * 0.5)
+    taus = jnp.asarray(RNG.normal(size=(4, model.nv)))
+    kin = forward_kinematics(model, qs, vs)
+    fext, fworld, _, _ = compute_contact_forces(
+        model, opts, None, kin, robot.contact_frame_indices
+    )
+    ref = dyn.aba(model, GRAV, qs, vs, taus, fext)
+    cd = cdyn.ComponentDynamics(
+        model, GRAV, contact_opts=opts, contact_frames=robot.contact_frame_indices
+    )
+    out, fw = cd.accel(qs, vs, taus, return_contacts=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(fw), np.asarray(fworld), atol=1e-9)
+
+
+def test_engine_fast_path_wiring():
+    """Force the fast path on CPU with a small model: the engine trajectory must
+    match the generic path exactly."""
+    model = build_model(
+        "mass2",
+        [
+            {
+                "name": "pz",
+                "type": JointType.PRISMATIC,
+                "parent": -1,
+                "axis": np.array([0.0, 0.0, 1.0]),
+                "mass": 1.0,
+                "com": np.zeros(3),
+                "inertia": np.eye(3) * 1e-3,
+            }
+        ],
+        [{"name": "contact", "parent": 0, "placement": (np.eye(3), np.zeros(3))}],
+    )
+    robot = Robot.build(model, contact_frames=["contact"])
+    contact = ContactOptions(stiffness=1e4, damping=1e2, friction=0.0, transition_eps=0.0)
+    base = dict(contacts=contact, stepper=StepperOptions(dt_max=1e-3))
+    eng_fast = Engine(robot, EngineOptions(use_fast_dynamics="always", **base))
+    eng_ref = Engine(robot, EngineOptions(use_fast_dynamics=False, **base))
+    assert eng_fast._cdyn is not None
+    assert eng_ref._cdyn is None
+    st_f = eng_fast.reset(jnp.array([0.05]))
+    st_r = eng_ref.reset(jnp.array([0.05]))
+    step_f = jax.jit(eng_fast.step)
+    step_r = jax.jit(eng_ref.step)
+    for _ in range(100):
+        st_f = step_f(st_f)
+        st_r = step_r(st_r)
+    np.testing.assert_allclose(np.asarray(st_f.q), np.asarray(st_r.q), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(st_f.v), np.asarray(st_r.v), atol=1e-12)
+
+
+def test_penalty_bounds_consistency():
+    """Penalty bounds mode: fast path and generic path agree, and the bound
+    actually stops the joint."""
+    model = build_model(
+        "bounded",
+        [
+            {
+                "name": "pivot",
+                "type": JointType.REVOLUTE,
+                "parent": -1,
+                "axis": np.array([0.0, 1.0, 0.0]),
+                "mass": 1.0,
+                "com": np.array([0.0, 0.0, -0.5]),
+                "inertia": np.zeros((3, 3)),
+                "position_limit": (np.array([-0.4]), np.array([0.4])),
+            }
+        ],
+    )
+    robot = Robot.build(model, motors=[{"joint_name": "pivot", "effort_limit": 100.0}])
+    base = dict(
+        stepper=StepperOptions(dt_max=5e-4),
+        joint_bounds_mode="penalty",
+        joint_bounds_freq=20.0,
+    )
+    eng_fast = Engine(robot, EngineOptions(use_fast_dynamics="always", **base))
+    eng_ref = Engine(robot, EngineOptions(use_fast_dynamics=False, **base))
+    st_f = eng_fast.reset(jnp.array([0.0]))
+    st_r = eng_ref.reset(jnp.array([0.0]))
+    step_f = jax.jit(eng_fast.step)
+    step_r = jax.jit(eng_ref.step)
+    for _ in range(400):
+        st_f = step_f(st_f, jnp.array([3.0]))
+        st_r = step_r(st_r, jnp.array([3.0]))
+    np.testing.assert_allclose(np.asarray(st_f.q), np.asarray(st_r.q), atol=1e-10)
+    assert 0.35 < float(st_f.q[0]) < 0.55  # stopped near the soft bound
+    assert abs(float(st_f.v[0])) < 0.05
