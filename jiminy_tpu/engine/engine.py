@@ -67,6 +67,7 @@ class Engine:
         self.ground_fn = opts.world.ground_profile
         # Optional user forces: f(t, q, v) -> (..., nj, 6) LOCAL joint wrenches
         self.external_force_fn: Optional[Callable] = None
+        self._registered_forces: list = []
         # Optional internal controller: u(t, q, v, measurements) -> command,
         # applied when `step` is called without an explicit command.
         self.controller: Optional[Callable] = None
@@ -153,14 +154,70 @@ class Engine:
         return gains
 
     # ------------------------------------------------------------------ #
+    # External force registration (reference `Engine::registerImpulseForce` /
+    # `registerProfileForce`, `engine.h:630-645`): wrenches act at a frame in
+    # world-aligned axes and are converted onto the parent joint.
+    # ------------------------------------------------------------------ #
+    def register_profile_force(self, frame_name: str, force_fn: Callable) -> None:
+        """`force_fn(t) -> (6,)` world-aligned wrench (ang, lin) at the frame."""
+        fidx = self.robot.model.frame_index(frame_name)
+        self._registered_forces.append(("profile", fidx, force_fn))
+        self._rebuild_force_fn()
+
+    def register_impulse_force(
+        self, frame_name: str, t_start: float, duration: float, wrench
+    ) -> None:
+        """Constant world wrench applied during [t_start, t_start+duration]."""
+        fidx = self.robot.model.frame_index(frame_name)
+        w = jnp.asarray(wrench, self.dtype)
+
+        def force_fn(t):
+            on = (t >= t_start) & (t < t_start + duration)
+            return jnp.where(on, 1.0, 0.0) * w
+
+        self._registered_forces.append(("impulse", fidx, force_fn))
+        self._rebuild_force_fn()
+
+    def remove_forces(self) -> None:
+        self._registered_forces = []
+        self.external_force_fn = None
+
+    def _rebuild_force_fn(self) -> None:
+        model = self.robot.model
+        entries = list(self._registered_forces)
+
+        def fn(t, q, v):
+            kin = forward_kinematics(model, q)
+            fext = jnp.zeros(q.shape[:-1] + (model.njoints, 6), q.dtype)
+            from jiminy_tpu.ops.kinematics import frame_placement
+
+            for _, fidx, force_fn in entries:
+                w = force_fn(t)
+                parent = model.frame_parents[fidx]
+                fpl = frame_placement(model, kin, fidx)
+                rot_j = kin.omi.rot[..., parent, :, :]
+                pos_j = kin.omi.pos[..., parent, :]
+                lever = fpl.pos - pos_j
+                f_w = w[..., 3:6]
+                n_w = w[..., 0:3] + jnp.cross(lever, f_w)
+                rt = jnp.swapaxes(rot_j, -1, -2)
+                fext = fext.at[..., parent, 0:3].add(lie.mv(rt, n_w))
+                fext = fext.at[..., parent, 3:6].add(lie.mv(rt, f_w))
+            return fext
+
+        self.external_force_fn = fn if entries else None
+
+    # ------------------------------------------------------------------ #
     # Continuous dynamics
     # ------------------------------------------------------------------ #
-    def dynamics_full(self, t, q, v, command, carry=None):
+    def dynamics_full(self, t, q, v, command, carry=None, fext_extra=None):
         """Full dynamics evaluation (reference `Engine::computeRobotsDynamics`,
         `engine.cc:3585-3708`).  Returns (a, aux).
 
         `carry` holds constraint activity/warm-start from the period start
         (contact_active, bound_active, lam, distance_ref); None = all inactive.
+        `fext_extra`: extra (..., nj, 6) LOCAL joint wrenches (multi-robot
+        coupling forces are injected here).
         """
         robot = self.robot
         model = robot.model
@@ -176,6 +233,8 @@ class Engine:
         fext_user = (
             self.external_force_fn(t, q, v) if self.external_force_fn is not None else None
         )
+        if fext_extra is not None:
+            fext_user = fext_extra if fext_user is None else fext_user + fext_extra
 
         u = internal_mod.flexibility_torque(robot, q, v)
 

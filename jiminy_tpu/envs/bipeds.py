@@ -19,7 +19,7 @@ class CassieEnv(WalkerEnv):
         robot = bb.build_cassie()
         q0 = bb.cassie_standing_pose(robot.model)
         kw.setdefault("base_height_min", 0.5)
-        kw.setdefault("simulation_dt", 1.0e-3)
+        kw.setdefault("simulation_dt", 5.0e-4)
         super().__init__(robot, q0, step_dt=step_dt, horizon=horizon, **kw)
 
 
@@ -31,6 +31,7 @@ class DigitEnv(WalkerEnv):
         q0 = bb.cassie_standing_pose(robot.model)
         q0[2] = 1.0
         kw.setdefault("base_height_min", 0.55)
+        kw.setdefault("simulation_dt", 5.0e-4)
         super().__init__(robot, q0, step_dt=step_dt, horizon=horizon, **kw)
 
 
@@ -42,6 +43,7 @@ class AtlasEnv(WalkerEnv):
         robot = bb.build_atlas(reduced=reduced)
         q0 = bb.atlas_standing_pose(robot.model)
         kw.setdefault("base_height_min", 0.55)
+        kw.setdefault("simulation_dt", 5.0e-4)
         super().__init__(robot, q0, step_dt=step_dt, horizon=horizon, **kw)
 
 

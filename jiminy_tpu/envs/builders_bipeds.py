@@ -318,8 +318,10 @@ def cassie_standing_pose(model) -> np.ndarray:
         q[model.idx_q[j]] = val
 
     for side in ("l", "r"):
+        # Pitches about y sum to zero so the toe plate is level: the foot
+        # stands flat on both contact points.
         set_j(f"hip_flexion_{side}", 0.45)
         set_j(f"knee_joint_{side}", -1.2)
         set_j(f"tarsus_joint_{side}", 1.45)
-        set_j(f"toe_joint_{side}", -1.6)
+        set_j(f"toe_joint_{side}", -0.7)
     return q

@@ -57,6 +57,18 @@ class WalkerEnv(BaseEnv):
                 joint_bounds_mode="penalty",
             )
         super().__init__(robot, options, step_dt=step_dt, horizon=horizon)
+        nominal_q = np.asarray(nominal_q, dtype=float).copy()
+        if robot.contact_frame_indices and nominal_q.shape[-1] >= 7:
+            # Auto-level: shift the base so the lowest contact point starts just
+            # above the ground (avoids huge initial penetration forces).
+            from jiminy_tpu.ops.kinematics import forward_kinematics, frame_placement
+
+            kin = forward_kinematics(robot.model, jnp.asarray(nominal_q))
+            min_z = min(
+                float(frame_placement(robot.model, kin, f).pos[2])
+                for f in robot.contact_frame_indices
+            )
+            nominal_q[2] -= min_z - 1e-3
         self.nominal_q = jnp.asarray(nominal_q, self.engine.dtype)
         self.target_velocity = target_velocity
         self.base_height_min = base_height_min

@@ -1,0 +1,90 @@
+"""Multi-robot engine with coupling forces vs the analytic two-mass-spring
+system (reference `test_double_spring_mass.py` / `test_multi_robot.py`)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.integrate import ode
+
+from jiminy_tpu.engine import EngineOptions, Robot
+from jiminy_tpu.engine.config import StepperOptions
+from jiminy_tpu.engine.multi import MultiRobotEngine
+from jiminy_tpu.models import JointType, build_model
+
+
+def _mass_robot(name, mass=1.0):
+    model = build_model(
+        name,
+        [
+            {
+                "name": "pz",
+                "type": JointType.PRISMATIC,
+                "parent": -1,
+                "axis": np.array([0.0, 0.0, 1.0]),
+                "mass": mass,
+                "com": np.zeros(3),
+                "inertia": np.zeros((3, 3)),
+            }
+        ],
+        [{"name": "body", "parent": 0, "placement": (np.eye(3), np.zeros(3))}],
+    )
+    return Robot.build(model)
+
+
+def test_double_spring_mass_vs_scipy():
+    """Two vertical masses coupled by a viscoelastic spring, gravity off:
+    trajectories must match the scipy-integrated 2-dof linear system."""
+    m1, m2, k, nu = 1.0, 2.0, 50.0, 0.5
+    robots = {"m1": _mass_robot("m1", m1), "m2": _mass_robot("m2", m2)}
+    from jiminy_tpu.engine.config import WorldOptions
+
+    opts = EngineOptions(
+        world=WorldOptions(gravity=(0.0, 0.0, 0.0)),
+        stepper=StepperOptions(dt_max=1e-3),
+    )
+    eng = MultiRobotEngine(robots, opts)
+    eng.register_viscoelastic_coupling_force(
+        "m1", "body", "m2", "body", stiffness=k, damping=nu
+    )
+    states = eng.reset({"m1": jnp.array([0.0]), "m2": jnp.array([0.3])})
+    step = jax.jit(eng.step)
+    ts, z1s, z2s = [], [], []
+    for _ in range(300):
+        states = step(states)
+        ts.append(float(states["m1"].t))
+        z1s.append(float(states["m1"].q[0]))
+        z2s.append(float(states["m2"].q[0]))
+
+    def f(t, y):
+        z1, v1, z2, v2 = y
+        fs = k * (z2 - z1) + nu * (v2 - v1)  # force on m1 (towards m2)
+        return [v1, fs / m1, v2, -fs / m2]
+
+    r = ode(f).set_integrator("dopri5", rtol=1e-12, atol=1e-12)
+    r.set_initial_value([0.0, 0.0, 0.3, 0.0], 0.0)
+    ref = []
+    for t in ts:
+        r.integrate(t)
+        ref.append([r.y[0], r.y[2]])
+    ref = np.array(ref)
+    assert np.max(np.abs(np.array(z1s) - ref[:, 0])) < 1e-6
+    assert np.max(np.abs(np.array(z2s) - ref[:, 1])) < 1e-6
+
+
+def test_momentum_conservation():
+    """Action-reaction: with gravity off, total momentum stays zero."""
+    robots = {"a": _mass_robot("a", 1.0), "b": _mass_robot("b", 3.0)}
+    from jiminy_tpu.engine.config import WorldOptions
+
+    opts = EngineOptions(
+        world=WorldOptions(gravity=(0.0, 0.0, 0.0)),
+        stepper=StepperOptions(dt_max=1e-3),
+    )
+    eng = MultiRobotEngine(robots, opts)
+    eng.register_viscoelastic_coupling_force("a", "body", "b", "body", 20.0, 0.0)
+    states = eng.reset({"a": jnp.array([0.0]), "b": jnp.array([0.5])})
+    step = jax.jit(eng.step)
+    for _ in range(100):
+        states = step(states)
+    p = 1.0 * float(states["a"].v[0]) + 3.0 * float(states["b"].v[0])
+    assert abs(p) < 1e-9

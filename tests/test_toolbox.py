@@ -1,0 +1,140 @@
+"""Toolbox: convex hull distances, splines, support polygon/stability margin,
+meta envs, curriculum, gymnasium adapter, external forces, randomization."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jiminy_tpu.toolbox import (
+    ConvexHull2D,
+    MaximizeRobustnessReward,
+    Spline,
+    StabilityMarginQuantity,
+    TaskSettableEnv,
+)
+
+
+def test_convex_hull_signed_distance():
+    square = jnp.asarray([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]])
+    hull = ConvexHull2D(square)
+    d_in = float(hull.signed_distance(jnp.asarray([0.5, 0.5])))
+    assert -0.51 < d_in < -0.49
+    d_out = float(hull.signed_distance(jnp.asarray([2.0, 0.5])))
+    assert abs(d_out - 1.0) < 1e-6
+    d_corner = float(hull.signed_distance(jnp.asarray([2.0, 2.0])))
+    assert abs(d_corner - np.sqrt(2.0)) < 1e-6
+
+
+def test_spline_interpolation_and_derivative():
+    ts = jnp.linspace(0.0, 2 * np.pi, 30)
+    ys = jnp.sin(ts)
+    sp = Spline(ts, ys)
+    tq = jnp.linspace(0.2, 2 * np.pi - 0.2, 50)
+    np.testing.assert_allclose(np.asarray(sp(tq))[:, 0], np.sin(np.asarray(tq)), atol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(sp.derivative(tq))[:, 0], np.cos(np.asarray(tq)), atol=5e-3
+    )
+
+
+def test_stability_margin_standing():
+    from jiminy_tpu.envs import make
+
+    env = make("anymal")
+    st, _ = env.reset(jax.random.PRNGKey(0))
+    step = jax.jit(env.step)
+    for _ in range(20):
+        st, *_ = step(st, jnp.zeros((env.action_size,)))
+    margin = float(StabilityMarginQuantity()(env, st))
+    assert margin < 0.0  # ZMP inside the support polygon while standing
+    r = MaximizeRobustnessReward(cutoff=0.1)(env, st, None, st)
+    assert 0.0 < float(r) <= 1.0
+
+
+def test_task_settable_and_scheduler():
+    from jiminy_tpu.envs import make
+    from jiminy_tpu.rl.curriculum import TaskScheduler
+
+    env = make("anymal")
+
+    def apply(env, task):
+        env.target_velocity = {"slow": 0.2, "fast": 1.0}[task]
+
+    wrapped = TaskSettableEnv(env, ["slow", "fast"], apply)
+    wrapped.set_task("fast")
+    assert env.target_velocity == 1.0
+
+    sched = TaskScheduler(["slow", "fast"], seed=0)
+    for i in range(20):
+        sched.update_task_score("slow", 0.5)  # flat: no progress
+        sched.update_task_score("fast", i * 0.1)  # improving
+    probs = sched.probabilities()
+    assert probs[1] > probs[0]  # improving task sampled more
+    assert sched.sample() in ("slow", "fast")
+
+
+def test_gymnasium_adapter():
+    from jiminy_tpu.envs import make
+    from jiminy_tpu.gym.gym_adapter import GymnasiumEnv
+
+    genv = GymnasiumEnv(make("cartpole"))
+    obs, info = genv.reset(seed=3)
+    assert obs.shape == genv.observation_space.shape
+    obs, reward, term, trunc, info = genv.step(np.array([1.0]))
+    assert isinstance(reward, float)
+    assert genv.action_space.shape == (1,)
+
+
+def test_register_impulse_force():
+    """Impulse on the pendulum tip: kicks only within the window (reference
+    impulse-force test in test_simple_pendulum.py)."""
+    from jiminy_tpu.engine import Engine, EngineOptions, Robot
+    from jiminy_tpu.engine.config import StepperOptions
+    from jiminy_tpu.models import JointType, build_model
+
+    model = build_model(
+        "pend",
+        [
+            {
+                "name": "pivot",
+                "type": JointType.REVOLUTE,
+                "parent": -1,
+                "axis": np.array([0.0, 1.0, 0.0]),
+                "mass": 1.0,
+                "com": np.array([0.0, 0.0, -0.5]),
+                "inertia": np.zeros((3, 3)),
+            }
+        ],
+        [{"name": "tip", "parent": 0, "placement": (np.eye(3), np.array([0.0, 0.0, -0.5]))}],
+    )
+    robot = Robot.build(model)
+    eng = Engine(robot, EngineOptions(stepper=StepperOptions(dt_max=1e-3)))
+    # 10 N along +x during [0.05, 0.06] at the tip
+    eng.register_impulse_force("tip", 0.05, 0.01, jnp.array([0, 0, 0, 10.0, 0, 0]))
+    st = eng.reset(jnp.zeros(1))
+    step = jax.jit(eng.step)
+    for _ in range(40):
+        st = step(st)
+    assert abs(float(st.v[0])) < 1e-9  # before impulse: at rest
+    for _ in range(30):
+        st = step(st)
+    v_after = float(st.v[0])
+    # Angular impulse = F * lever * dt / inertia = 10*0.5*0.01/0.25 = 0.2
+    assert abs(abs(v_after) - 0.2) < 0.02
+
+
+def test_randomize_model():
+    from jiminy_tpu.engine.randomization import randomize_model
+    from jiminy_tpu.envs.builders import build_anymal
+
+    model = build_anymal().model
+    m2 = randomize_model(
+        model, jax.random.PRNGKey(0), mass_std=0.1, com_std=0.01, inertia_std=0.1
+    )
+    assert not np.allclose(np.asarray(m2.mass), np.asarray(model.mass))
+    assert np.all(np.asarray(m2.mass) >= 0.0)
+    # Static structure unchanged
+    assert m2.joint_names == model.joint_names
+    m3 = randomize_model(
+        model, jax.random.PRNGKey(0), mass_std=0.1, com_std=0.01, inertia_std=0.1
+    )
+    np.testing.assert_array_equal(np.asarray(m2.mass), np.asarray(m3.mass))
