@@ -20,12 +20,22 @@ REFERENCE_STEPS_PER_SEC = 3650.0  # pipeline_benchmark.py:46 (1 env, 1 CPU core)
 
 
 def main():
-    batch = int(os.environ.get("BENCH_BATCH", "1024"))
-    n_steps = int(os.environ.get("BENCH_STEPS", "50"))
+    batch = int(os.environ.get("BENCH_BATCH", "8192"))
+    n_steps = int(os.environ.get("BENCH_STEPS", "25"))
+    pallas_tile = int(os.environ.get("BENCH_PALLAS", "1024"))
 
     from jiminy_tpu.envs import make
 
     env = make("anymal-pid")
+    if pallas_tile:
+        # Rebuild the fused dynamics with the Pallas megakernel enabled; the
+        # env layer is batch-transparent, so the whole pipeline steps on
+        # explicitly-batched states (no outer vmap) and the dynamics eval runs
+        # as ONE TPU kernel per tile.
+        env.engine.options = env.engine.options.replace(pallas_tile=pallas_tile)
+        if env.engine._cdyn is not None:
+            env.engine._cdyn.pallas_tile = pallas_tile
+
     keys = jax.random.split(jax.random.PRNGKey(0), batch)
     reset = jax.jit(jax.vmap(env.reset))
     state, obs = reset(keys)
@@ -33,9 +43,17 @@ def main():
 
     actions = jnp.zeros((batch, env.action_size), state.sim.q.dtype)
 
-    def step_all(state, _):
-        state, obs, reward, term, trunc, _ = jax.vmap(env.step)(state, actions)
-        return state, None
+    if pallas_tile:
+
+        def step_all(state, _):
+            state, obs, reward, term, trunc, _ = env.step(state, actions)
+            return state, None
+
+    else:
+
+        def step_all(state, _):
+            state, obs, reward, term, trunc, _ = jax.vmap(env.step)(state, actions)
+            return state, None
 
     def run_chunk(state):
         state, _ = jax.lax.scan(step_all, state, None, length=n_steps)

@@ -95,6 +95,10 @@ class EngineOptions:
     # True = auto (TPU/GPU only: the large fused graph compiles slowly on the
     # CPU backend), "always" = force on, False = off.
     use_fast_dynamics: object = True
+    # Fuse the whole dynamics eval into ONE Pallas TPU kernel (only used on
+    # explicitly-batched states, `q.ndim == 2`; flat ground only). 0 = off,
+    # otherwise preferred env-tile size.
+    pallas_tile: int = 0
 
     def replace(self, **kw) -> "EngineOptions":
         return dataclasses.replace(self, **kw)

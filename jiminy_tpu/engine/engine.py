@@ -122,6 +122,7 @@ class Engine:
                     contact_frames=robot.contact_frame_indices,
                     ground_fn=self.ground_fn,
                     bound_gains=self._bound_gains,
+                    pallas_tile=opts.pallas_tile,
                 )
 
     def _build_penalty_bound_gains(self) -> dict:
@@ -443,6 +444,12 @@ class Engine:
         groups = list(suite.groups())
         if not groups:
             return state.replace(measurements={})
+        if state.t.ndim >= 1:
+            # Explicitly-batched state (Pallas fast path): ring-buffer indexing
+            # is per-env, so vmap just this stage.
+            return jax.vmap(lambda s, a_, x: self._update_sensors(s, a_, x))(
+                state, a, aux
+            )
         kin = forward_kinematics(robot.model, state.q, state.v, a)
         contact_f = {
             "gravity": self.gravity,

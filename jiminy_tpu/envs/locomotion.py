@@ -98,7 +98,7 @@ class WalkerEnv(BaseEnv):
         alive = jnp.asarray(1.0, dtype)
         vel_err = self.base_velocity_x(next_state) - self.target_velocity
         track = jnp.exp(-(vel_err**2) / (2 * 0.25**2))
-        effort = jnp.sum(jnp.square(next_state.sim.u_motor)) * 1e-4
+        effort = jnp.sum(jnp.square(next_state.sim.u_motor), axis=-1) * 1e-4
         return alive + track - effort
 
     def _is_terminated(self, state):

@@ -324,3 +324,113 @@ class BodyObserver:
             )
             quat = lie.quat_normalize(swing)
         return {"attitude_no_twist": quat, "omega": feat["omega"]}, block_state
+
+
+# =============================================================================
+# Quantity observer + deformation estimator
+# =============================================================================
+
+
+class QuantityObserver:
+    """Expose a quantity as an observation feature (reference
+    `QuantityObserver`, `blocks/quantity_observer.py:47`)."""
+
+    def __init__(self, name: str, quantity):
+        self.name = name
+        self.quantity = quantity
+        self._env = None
+
+    def setup(self, env):
+        self._env = env
+        return self
+
+    def init_state(self, env_state):
+        return ()
+
+    def refresh(self, obs, block_state):
+        # The quantity API takes the full env state; observers only see obs, so
+        # the env reference captured at setup provides model access.  Obs-level
+        # quantities receive a lightweight shim.
+        class _Shim:
+            pass
+
+        shim = _Shim()
+        shim.sim = type("S", (), {})()
+        shim.sim.q = obs["agent_state"]["q"]
+        shim.sim.v = obs["agent_state"]["v"]
+        shim.sim.measurements = obs.get("measurements", {})
+        shim.blocks = {}
+        value = self.quantity(self._env, shim)
+        return value, block_state
+
+
+class DeformationEstimator:
+    """Estimate flexibility-joint deformations from relative IMU attitudes
+    (reference `DeformationEstimator`, `blocks/deformation_estimator.py:416`).
+
+    For each flexibility joint, given an IMU on the parent side and one on the
+    child side plus the mechanical joint positions (encoders), the rigid
+    relative rotation between the IMU frames is reconstructed by FK with the
+    flexibility set to identity; the residual rotation between the *measured*
+    relative attitude and the rigid one is the deformation estimate:
+
+        q_flex = (R̂_p · R_kin(p→flex))⁻¹ · (R̂_c · R_kin(c→flex))
+    """
+
+    name = "deformation_estimator"
+
+    def __init__(self, flex_imu_pairs):
+        """flex_imu_pairs: [(flex_joint_name, imu_parent_name, imu_child_name)]"""
+        self.pairs = tuple(flex_imu_pairs)
+
+    def setup(self, env):
+        self._env = env
+        model = env.robot.model
+        imu = env.robot.sensors.imu
+        self._imu_index = {n: i for i, n in enumerate(imu.names)}
+        self._imu_frames = imu.frame_indices
+        self._flex_joints = tuple(
+            model.joint_index(p[0]) for p in self.pairs
+        )
+        return self
+
+    def init_state(self, env_state):
+        return ()
+
+    def refresh(self, obs, block_state):
+        env = self._env
+        model = env.robot.model
+        feat = obs.get("features", {}).get("mahony_filter")
+        if feat is None:
+            raise ValueError("DeformationEstimator requires an upstream MahonyFilter")
+        quat_imu = feat["attitude"]  # (nimu, 4) world attitude estimates
+
+        # Rigid configuration: encoder positions with identity flexibility
+        q = obs["agent_state"]["q"]
+        q_rigid = q
+        for j in self._flex_joints:
+            qi = model.idx_q[j]
+            q_rigid = (
+                q_rigid.at[..., qi : qi + 3].set(0.0).at[..., qi + 3].set(1.0)
+            )
+        from jiminy_tpu.ops.kinematics import forward_kinematics, frame_placement
+
+        kin = forward_kinematics(model, q_rigid)
+
+        out = []
+        for (flex_name, imu_p, imu_c), j in zip(self.pairs, self._flex_joints):
+            fp = self._imu_frames[self._imu_index[imu_p]]
+            fc = self._imu_frames[self._imu_index[imu_c]]
+            rot_p = frame_placement(model, kin, fp).rot
+            rot_c = frame_placement(model, kin, fc).rot
+            # Rigid relative rotation IMU_p -> IMU_c
+            rel_rigid = lie.mm(jnp.swapaxes(rot_p, -1, -2), rot_c)
+            qp = quat_imu[..., self._imu_index[imu_p], :]
+            qc = quat_imu[..., self._imu_index[imu_c], :]
+            rel_meas = lie.quat_to_mat(
+                lie.quat_mul(lie.quat_conjugate(qp), qc)
+            )
+            # Deformation = rigid⁻¹ · measured
+            deform = lie.mm(jnp.swapaxes(rel_rigid, -1, -2), rel_meas)
+            out.append(lie.mat_to_quat(deform))
+        return {"deformation": jnp.stack(out, axis=-2)}, block_state

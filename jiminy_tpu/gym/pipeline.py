@@ -21,10 +21,12 @@ import jax.numpy as jnp
 from jiminy_tpu.gym.base import BaseEnv, EnvState
 from jiminy_tpu.gym.blocks import (
     BodyObserver,
+    DeformationEstimator,
     MahonyFilter,
     MotorSafetyLimit,
     PDAdapter,
     PDController,
+    QuantityObserver,
 )
 
 
@@ -170,6 +172,8 @@ _BLOCK_REGISTRY = {
     "MahonyFilter": MahonyFilter,
     "MotorSafetyLimit": MotorSafetyLimit,
     "BodyObserver": BodyObserver,
+    "QuantityObserver": QuantityObserver,
+    "DeformationEstimator": DeformationEstimator,
 }
 
 
@@ -210,7 +214,7 @@ def build_pipeline(config: dict):
                     raise ValueError("PDAdapter requires an upstream PDController layer")
                 block = cls(**layer).setup(env, pd_block)
                 env = ControlledEnv(env, block)
-            elif cls in (MahonyFilter, BodyObserver):
+            elif cls in (MahonyFilter, BodyObserver, QuantityObserver, DeformationEstimator):
                 block = cls(**layer).setup(env)
                 env = ObservedEnv(env, block)
             elif cls is MotorSafetyLimit:

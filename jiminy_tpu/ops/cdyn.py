@@ -243,6 +243,7 @@ class ComponentDynamics:
         contact_frames: tuple = (),
         ground_fn: Optional[Callable] = None,
         bound_gains: Optional[dict] = None,
+        pallas_tile: int = 0,
     ):
         if not supports_model(model):
             raise ValueError("ComponentDynamics: unsupported joint types")
@@ -254,9 +255,13 @@ class ComponentDynamics:
         self.ground_fn = ground_fn
         # Optional stable penalty bounds: {vidx: (lo, hi, kp, kd)}
         self.bound_gains = bound_gains or {}
+        # Pallas megakernel: 0 = off; otherwise the preferred env-tile size
+        # (the call falls back to the XLA path when the batch doesn't divide).
+        self.pallas_tile = int(pallas_tile)
+        self._pallas_runs = {}
 
     # ---------------- kinematics ----------------
-    def _joint_x(self, q):
+    def _joint_x(self, qc):
         """Per-joint placement in parent joint frame: (M3, V3) lists."""
         c = self.c
         xs = []
@@ -265,19 +270,17 @@ class ComponentDynamics:
             tree_p = c.pos[i].tolist()
             if c.types[i] == jt.JointType.FREE:
                 qi = c.idx_q[i]
-                rot_j = quat_to_m(
-                    q[..., qi + 3], q[..., qi + 4], q[..., qi + 5], q[..., qi + 6]
-                )
-                pos_j = [q[..., qi], q[..., qi + 1], q[..., qi + 2]]
+                rot_j = quat_to_m(qc[qi + 3], qc[qi + 4], qc[qi + 5], qc[qi + 6])
+                pos_j = [qc[qi], qc[qi + 1], qc[qi + 2]]
                 rot = m_mm(tree_r, rot_j)
                 pos = v_add(m_mv(tree_r, pos_j), tree_p)
             elif c.types[i] == jt.JointType.REVOLUTE:
-                rot_j = rodrigues(c.axis[i].tolist(), q[..., c.idx_q[i]])
+                rot_j = rodrigues(c.axis[i].tolist(), qc[c.idx_q[i]])
                 rot = m_mm(tree_r, rot_j)
                 pos = tree_p
             else:  # PRISMATIC
                 rot = tree_r
-                disp = v_scale(c.axis[i].tolist(), q[..., c.idx_q[i]])
+                disp = v_scale(c.axis[i].tolist(), qc[c.idx_q[i]])
                 pos = v_add(m_mv(tree_r, disp), tree_p)
             xs.append((rot, pos))
         return xs
@@ -356,8 +359,44 @@ class ComponentDynamics:
 
     # ---------------- main evaluation ----------------
     def accel(self, q, v, tau, return_contacts: bool = False):
+        """Array-facing API: splits into components, runs the core, restacks."""
+        model = self.model
+        if (
+            self.pallas_tile
+            and not return_contacts
+            and q.ndim == 2
+            and self.ground_fn is None
+        ):
+            b = q.shape[0]
+            for tile in (self.pallas_tile, 4096, 2048, 1024, 512, 256):
+                if tile and b % tile == 0 and tile % 128 == 0:
+                    if tile not in self._pallas_runs:
+                        self._pallas_runs[tile] = _pallas_accel_fn(self, tile=tile)
+                    return self._pallas_runs[tile](q, v, tau)
+        qc = [q[..., i] for i in range(model.nq)]
+        vc = [v[..., i] for i in range(model.nv)]
+        tc = [tau[..., i] for i in range(model.nv)]
+        qdd_parts, f_world_all = self._accel_core(qc, vc, tc)
+        batch = jnp.broadcast_shapes(*[jnp.shape(val) for val in qdd_parts])
+        cols = [jnp.broadcast_to(x, batch) for x in qdd_parts]
+        qdd_full = jnp.stack(cols, axis=-1)
+        if return_contacts:
+            fw = (
+                jnp.stack(
+                    [jnp.stack(jnp.broadcast_arrays(*f), axis=-1) for f in f_world_all],
+                    axis=-2,
+                )
+                if f_world_all
+                else jnp.zeros(batch + (0, 3), qdd_full.dtype)
+            )
+            return qdd_full, fw
+        return qdd_full
+
+    def _accel_core(self, qc, vc, tc):
+        """Component-level dynamics core: lists in, lists out (used directly
+        by the Pallas megakernel where each component is one VPU tile)."""
         c = self.c
-        xs = self._joint_x(q)
+        xs = self._joint_x(qc)
 
         # Pass 1: velocities + bias, and body-frame articulated inertia init
         vel = [None] * c.nj  # (ang V3, lin V3) in LOCAL joint frame
@@ -377,11 +416,11 @@ class ComponentDynamics:
             v_in = m_tv(rot_i, v_sub(v_p, v_cross(pos_i, w_p)))
             if c.types[i] == jt.JointType.FREE:
                 vi = c.idx_v[i]
-                vj_lin = [v[..., vi], v[..., vi + 1], v[..., vi + 2]]
-                vj_ang = [v[..., vi + 3], v[..., vi + 4], v[..., vi + 5]]
+                vj_lin = [vc[vi], vc[vi + 1], vc[vi + 2]]
+                vj_ang = [vc[vi + 3], vc[vi + 4], vc[vi + 5]]
             else:
                 ax = c.axis[i].tolist()
-                qd = v[..., c.idx_v[i]]
+                qd = vc[c.idx_v[i]]
                 if c.types[i] == jt.JointType.REVOLUTE:
                     vj_ang, vj_lin = v_scale(ax, qd), v3()
                     svec[i] = (ax, (0.0, 0.0, 0.0))
@@ -431,8 +470,8 @@ class ComponentDynamics:
                         qi = c.idx_q[j]
             if qi is None:
                 continue
-            qj = q[..., qi]
-            vj = v[..., vi]
+            qj = qc[qi]
+            vj = vc[vi]
             over = jnp.maximum(qj - hi, 0.0)
             under = jnp.maximum(lo - qj, 0.0)
             active = (over > 0.0) | (under > 0.0)
@@ -458,7 +497,7 @@ class ComponentDynamics:
             dinv = 1.0 / d
             pa_a, pa_l = pa[i]
             pa6 = [*pa_a, *pa_l]
-            u_r = tau[..., vi] + tau_extra.get(vi, 0.0) - sum(
+            u_r = tc[vi] + tau_extra.get(vi, 0.0) - sum(
                 s6[k] * pa6[k] for k in range(6)
             )
             u_of[i], d_inv[i], u_rhs[i] = u6, dinv, u_r
@@ -516,12 +555,12 @@ class ComponentDynamics:
                 pa_a, pa_l = pa[i]
                 # u = tau - S^T pa ; S^T pa = (pa_lin, pa_ang)
                 rhs = [
-                    tau[..., vi + 0] - pa_l[0],
-                    tau[..., vi + 1] - pa_l[1],
-                    tau[..., vi + 2] - pa_l[2],
-                    tau[..., vi + 3] - pa_a[0],
-                    tau[..., vi + 4] - pa_a[1],
-                    tau[..., vi + 5] - pa_a[2],
+                    tc[vi + 0] - pa_l[0],
+                    tc[vi + 1] - pa_l[1],
+                    tc[vi + 2] - pa_l[2],
+                    tc[vi + 3] - pa_a[0],
+                    tc[vi + 4] - pa_a[1],
+                    tc[vi + 5] - pa_a[2],
                 ]
                 # subtract U^T a_mid = (IA a_mid) permuted
                 iam_a, iam_l = sym6_mv(ia_root, am_a, am_l)
@@ -552,22 +591,7 @@ class ComponentDynamics:
                 )
 
         nv = self.model.nv
-        batch = jnp.broadcast_shapes(
-            *[jnp.shape(val) for val in qdd_parts.values()]
-        )
-        cols = [jnp.broadcast_to(qdd_parts[k], batch) for k in range(nv)]
-        qdd_full = jnp.stack(cols, axis=-1)
-        if return_contacts:
-            fw = (
-                jnp.stack(
-                    [jnp.stack(jnp.broadcast_arrays(*f), axis=-1) for f in f_world_all],
-                    axis=-2,
-                )
-                if f_world_all
-                else jnp.zeros(batch + (0, 3), qdd_full.dtype)
-            )
-            return qdd_full, fw
-        return qdd_full
+        return [qdd_parts[k] for k in range(nv)], f_world_all
 
 
 def _transform_sym6(ia6, rot, pos):
@@ -618,3 +642,61 @@ def _transform_sym6(ia6, rot, pos):
             out[3 + i][j] = out_bl[i][j]
             out[3 + i][3 + j] = out_br[i][j]
     return out
+
+
+# --------------------------------------------------------------------------- #
+# Pallas megakernel: the full dynamics eval as ONE TPU kernel
+# --------------------------------------------------------------------------- #
+#
+# The XLA-compiled component core runs as ~144 separate fusion kernels whose
+# dispatch overhead dominates (measured ~14 µs/kernel on v5e); the true IO of
+# one eval is only (nq+2*nv) * B floats.  This kernel evaluates the whole tree
+# sweep for a tile of envs entirely in VMEM/registers: every component is one
+# (8, 128) f32 tile (1024 envs), every operation a single VPU instruction.
+
+
+def _pallas_accel_fn(cd: "ComponentDynamics", tile: int = 1024):
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    model = cd.model
+    nq, nv = model.nq, model.nv
+    sub = tile // 128  # sublane count (8 for tile=1024)
+
+    def kernel(q_ref, v_ref, t_ref, out_ref):
+        qc = [q_ref[0, i] for i in range(nq)]
+        vc = [v_ref[0, i] for i in range(nv)]
+        tc = [t_ref[0, i] for i in range(nv)]
+        qdd, _ = cd._accel_core(qc, vc, tc)
+        for i in range(nv):
+            out_ref[0, i] = jnp.broadcast_to(qdd[i], (sub, 128)).astype(out_ref.dtype)
+
+    def run(q, v, tau):
+        # (B, n) -> (G, n, sub, 128) tiles with envs on lanes
+        b = q.shape[0]
+        g = b // tile
+
+        def to_tiles(x, n):
+            return (
+                x.reshape(g, sub, 128, n).transpose(0, 3, 1, 2)
+            )
+
+        out = pl.pallas_call(
+            kernel,
+            grid=(g,),
+            in_specs=[
+                pl.BlockSpec((1, nq, sub, 128), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, nv, sub, 128), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, nv, sub, 128), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, nv, sub, 128), lambda i: (i, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((g, nv, sub, 128), q.dtype),
+        )(to_tiles(q, nq), to_tiles(v, nv), to_tiles(tau, nv))
+        return out.transpose(0, 2, 3, 1).reshape(b, nv)
+
+    return run

@@ -53,6 +53,9 @@ class PPOConfig:
     caps_global_reg: float = 0.0
     spatial_noise_std: float = 0.1
     l2_reg: float = 0.0
+    # Policy symmetry surrogate (reference ppo.py:151): weight of
+    # E‖π(mirror_obs(s)) − mirror_act(π(s))‖²; mirror fns passed to make_train.
+    symmetry_reg: float = 0.0
 
 
 @struct.dataclass
@@ -76,11 +79,18 @@ def _gaussian_entropy(log_std):
     return jnp.sum(log_std + 0.5 * jnp.log(2 * jnp.pi * jnp.e), axis=-1)
 
 
-def make_train(env, config: PPOConfig, mesh: Optional[jax.sharding.Mesh] = None):
+def make_train(
+    env,
+    config: PPOConfig,
+    mesh: Optional[jax.sharding.Mesh] = None,
+    symmetry: Optional[tuple] = None,
+):
     """Returns (init_fn, train_step_fn).
 
     `env` must produce flat vector observations (wrap with FlattenObservation);
     auto-reset is applied here.
+    `symmetry`: optional (mirror_obs_fn, mirror_act_fn) pair for the symmetry
+    surrogate loss (reference mirror matrices, `rllib/ppo.py:151`).
     `init_fn(key) -> PPOState`; `train_step(state) -> (state, metrics)`.
     """
     env = AutoResetWrapper(env)
@@ -199,6 +209,12 @@ def make_train(env, config: PPOConfig, mesh: Optional[jax.sharding.Mesh] = None)
             )
         if config.caps_global_reg > 0.0:
             total = total + config.caps_global_reg * jnp.mean(jnp.sum(mean**2, axis=-1))
+        if config.symmetry_reg > 0.0 and symmetry is not None:
+            mirror_obs, mirror_act = symmetry
+            mean_mirror, _, _ = network.apply(params, mirror_obs(batch["obs"]))
+            total = total + config.symmetry_reg * jnp.mean(
+                jnp.sum((mean_mirror - mirror_act(mean)) ** 2, axis=-1)
+            )
         if config.l2_reg > 0.0:
             l2 = sum(
                 jnp.sum(p**2) for p in jax.tree.leaves(params) if p.ndim >= 2
@@ -288,6 +304,7 @@ def train(
     key=None,
     mesh: Optional[jax.sharding.Mesh] = None,
     callback: Optional[Callable] = None,
+    symmetry: Optional[tuple] = None,
 ):
     """Run `config.total_iterations` PPO iterations; returns (state, history).
 
@@ -296,7 +313,7 @@ def train(
     """
     if key is None:
         key = jax.random.PRNGKey(0)
-    init_fn, train_step = make_train(env, config, mesh=mesh)
+    init_fn, train_step = make_train(env, config, mesh=mesh, symmetry=symmetry)
     state = init_fn(key)
     step = jax.jit(train_step)
     history = []

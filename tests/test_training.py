@@ -1,0 +1,39 @@
+"""End-to-end RL benchmark: PPO must make clear progress on cartpole within the
+reference budget (<150k timesteps, `test_training_toys_models.py:28-41`).
+Full solve takes ~60 iterations (~80 s CPU); this smoke check trains a shorter
+run and asserts the termination rate collapses, plus greedy rollouts last
+substantially longer than the untrained ~25-step episodes."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jiminy_tpu.envs import make
+from jiminy_tpu.rl import PPOConfig, train
+from jiminy_tpu.rl.networks import ActorCritic
+
+
+def test_ppo_learns_cartpole():
+    cfg = PPOConfig(
+        n_envs=32, n_steps=64, n_epochs=4, n_minibatches=4,
+        total_iterations=35, lr=3e-4, ent_coef=0.01,
+    )
+    state, hist = train(make("cartpole"), cfg, key=jax.random.PRNGKey(42))
+    assert cfg.n_envs * cfg.n_steps * cfg.total_iterations < 150_000
+    early = np.mean([h["mean_done"] for h in hist[:5]])
+    late = np.mean([h["mean_done"] for h in hist[-5:]])
+    assert late < early  # episodes are getting longer
+
+    env = make("cartpole")
+    net = ActorCritic(1, hidden=cfg.hidden)
+    lengths = []
+    step = jax.jit(env.step)
+    for seed in range(5):
+        st, obs = env.reset(jax.random.PRNGKey(100 + seed))
+        for t in range(500):
+            mean, _, _ = net.apply(state.params, obs)
+            st, obs, r, te, tr, _ = step(st, mean)
+            if bool(te) or bool(tr):
+                break
+        lengths.append(t + 1)
+    assert np.mean(lengths) > 100  # untrained policy lasts ~25 steps
