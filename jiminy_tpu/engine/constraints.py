@@ -93,10 +93,12 @@ def build_constraint_set(
     only), plus explicit loop closures."""
     model = robot.model
     bounds = []
-    if robot.motors is not None and include_bounds:
+    if include_bounds:
         lo = np.asarray(model.position_limit_lower)
         hi = np.asarray(model.position_limit_upper)
-        for j in robot.motors.joint_indices:
+        candidates = list(robot.motors.joint_indices) if robot.motors else []
+        candidates += list(robot.backlash_joint_indices)
+        for j in candidates:
             t = jt.JointType(model.joint_types[j])
             if t in (jt.JointType.REVOLUTE, jt.JointType.PRISMATIC):
                 qi = model.idx_q[j]

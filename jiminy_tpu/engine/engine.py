@@ -134,7 +134,9 @@ class Engine:
         from jiminy_tpu.models import joints as _jt
 
         model = self.robot.model
-        if self.robot.motors is None:
+        candidates = list(self.robot.motors.joint_indices) if self.robot.motors else []
+        candidates += list(self.robot.backlash_joint_indices)
+        if not candidates:
             return {}
         q0 = model.neutral()
         m_diag = _np.asarray(jnp.diagonal(dyn.crba(model, q0)))
@@ -142,7 +144,7 @@ class Engine:
         gains = {}
         lo_all = _np.asarray(model.position_limit_lower)
         hi_all = _np.asarray(model.position_limit_upper)
-        for j in self.robot.motors.joint_indices:
+        for j in candidates:
             t = _jt.JointType(model.joint_types[j])
             if t not in (_jt.JointType.REVOLUTE, _jt.JointType.PRISMATIC):
                 continue

@@ -55,6 +55,9 @@ class Robot:
     # Closed kinematic loops: ((frame_a, frame_b), ...) distance constraints
     # (reference `DistanceConstraint`, e.g. Cassie pushrods)
     loop_pairs: tuple = struct.field(pytree_node=False, default=())
+    # Backlash joints auto-inserted in series with motors that declare play
+    # (reference `Robot::initializeExtendedModel`, `robot.cc:582-630`)
+    backlash_joint_indices: tuple = struct.field(pytree_node=False, default=())
 
     @property
     def nq(self):
@@ -109,6 +112,9 @@ class Robot:
         dtype = dtype or model.dtype
 
         bank = build_motor_bank(model, motors, dtype=dtype) if motors else None
+        backlash_idx: tuple = ()
+        if bank is not None and np.any(np.asarray(bank.backlash) > 0.0):
+            model, bank, backlash_idx = _add_backlash_joints(model, bank)
         if bank is not None and bank.nmotors:
             # Fold joint-side armature (rotor inertia * reduction^2) into the model
             arm = np.asarray(model.armature).copy()
@@ -129,6 +135,7 @@ class Robot:
             contact_frame_indices=contact_idx,
             flexibility=flex_cfg,
             loop_pairs=tuple(tuple(p) for p in loop_constraints),
+            backlash_joint_indices=backlash_idx,
         )
 
 
@@ -369,3 +376,113 @@ def _build_sensor_suite(model, bank, sensor_specs, contact_idx, dtype) -> Sensor
         )
 
     return SensorSuite(**suite)
+
+
+def _add_backlash_joints(model: RobotModel, bank: MotorBank):
+    """Insert a passive revolute joint (same axis, limits ±backlash/2) in series
+    after each motor joint declaring play; the link body moves to the backlash
+    joint while the motor joint keeps only the transmission (reference
+    `Robot::initializeExtendedModel`, `robot.cc:582-630`; bound constraints on
+    backlash joints enforce the hard stops)."""
+    backlash_of = {}
+    for k, j in enumerate(bank.joint_indices):
+        bl = float(np.asarray(bank.backlash)[k])
+        if bl > 0.0:
+            backlash_of[j] = bl
+
+    specs: list[dict] = []
+    index_map: dict[int, int] = {-1: -1}
+    backlash_positions: list[int] = []
+    for i in range(model.njoints):
+        spec = {
+            "name": model.joint_names[i],
+            "type": jt.JointType(model.joint_types[i]),
+            "parent": index_map[model.parents[i]],
+            "placement": (
+                np.asarray(model.jplacement_rot)[i],
+                np.asarray(model.jplacement_pos)[i],
+            ),
+            "axis": np.asarray(model.joint_axes)[i],
+            "mass": float(np.asarray(model.mass)[i]),
+            "com": np.asarray(model.com)[i],
+            "inertia": np.asarray(model.inertia)[i],
+            "armature": np.asarray(model.armature)[
+                model.idx_v[i] : model.idx_v[i] + model.nv_of(i)
+            ],
+            "position_limit": (
+                np.asarray(model.position_limit_lower)[
+                    model.idx_q[i] : model.idx_q[i] + model.nq_of(i)
+                ],
+                np.asarray(model.position_limit_upper)[
+                    model.idx_q[i] : model.idx_q[i] + model.nq_of(i)
+                ],
+            ),
+            "velocity_limit": np.asarray(model.velocity_limit)[
+                model.idx_v[i] : model.idx_v[i] + model.nv_of(i)
+            ],
+            "effort_limit": np.asarray(model.effort_limit)[
+                model.idx_v[i] : model.idx_v[i] + model.nv_of(i)
+            ],
+        }
+        index_map[i] = len(specs)
+        if i in backlash_of:
+            bl = backlash_of[i]
+            # Motor joint keeps the transmission only (a sliver of the body
+            # inertia for numerical conditioning); the body follows the
+            # backlash joint.
+            body = dict(spec)
+            spec["mass"] = 0.0
+            spec["com"] = np.zeros(3)
+            spec["inertia"] = np.eye(3) * 1e-6
+            specs.append(spec)
+            specs.append(
+                {
+                    "name": model.joint_names[i] + "_backlash",
+                    "type": jt.JointType.REVOLUTE,
+                    "parent": index_map[i],
+                    "placement": (np.eye(3), np.zeros(3)),
+                    "axis": np.asarray(model.joint_axes)[i],
+                    "mass": body["mass"],
+                    "com": body["com"],
+                    "inertia": body["inertia"],
+                    "position_limit": (
+                        np.array([-bl / 2.0]),
+                        np.array([bl / 2.0]),
+                    ),
+                }
+            )
+            backlash_positions.append(len(specs) - 1)
+            # Children of this joint must attach to the backlash joint
+            index_map[i] = len(specs) - 1
+        else:
+            specs.append(spec)
+
+    frame_specs = [
+        {
+            "name": model.frame_names[i],
+            "parent": index_map[model.frame_parents[i]],
+            "placement": (
+                np.asarray(model.fplacement_rot)[i],
+                np.asarray(model.fplacement_pos)[i],
+            ),
+        }
+        for i in range(model.nframes)
+    ]
+    new_model = build_model(model.name, specs, frame_specs, dtype=model.dtype)
+    # Remap the motor bank onto the new model (motors keep their joint names)
+    new_bank = bank.replace(
+        joint_indices=tuple(new_model.joint_index(n) for n in _motor_joint_names(model, bank)),
+        v_indices=tuple(
+            new_model.idx_v[new_model.joint_index(n)]
+            for n in _motor_joint_names(model, bank)
+        ),
+        q_indices=tuple(
+            new_model.idx_q[new_model.joint_index(n)]
+            for n in _motor_joint_names(model, bank)
+        ),
+    )
+    return new_model, new_bank, tuple(backlash_positions)
+
+
+def _motor_joint_names(model: RobotModel, bank: MotorBank) -> list:
+    return [model.joint_names[j] for j in bank.joint_indices]

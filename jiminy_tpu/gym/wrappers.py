@@ -178,3 +178,40 @@ class StackObservation(_Wrapper):
             blocks={**state.blocks, "obs_stack": {"stack": stack, "count": count}}
         )
         return state, self.observe(state), r, te, tr, info
+
+
+class AdaptLayoutObservation(_Wrapper):
+    """Reorder/rename the nested observation into a user-defined layout
+    (reference `AdaptLayoutObservation`): `layout` maps new '/'-separated paths
+    to old paths."""
+
+    def __init__(self, env, layout: dict):
+        super().__init__(env)
+        self.layout = {
+            tuple(new.split("/")): tuple(old.split("/"))
+            for new, old in layout.items()
+        }
+
+    def observe(self, state):
+        obs = self.env.observe(state)
+
+        def get(d, path):
+            for k in path:
+                d = d[k]
+            return d
+
+        out: dict = {}
+        for new, old in self.layout.items():
+            node = out
+            for k in new[:-1]:
+                node = node.setdefault(k, {})
+            node[new[-1]] = get(obs, old)
+        return out
+
+    def reset(self, key):
+        state, _ = self.env.reset(key)
+        return state, self.observe(state)
+
+    def step(self, state, action):
+        state, _, r, te, tr, info = self.env.step(state, action)
+        return state, self.observe(state), r, te, tr, info

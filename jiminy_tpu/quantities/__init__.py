@@ -33,6 +33,12 @@ from jiminy_tpu.quantities.locomotion import (
     ZeroMomentPoint,
 )
 from jiminy_tpu.quantities.manager import QuantityManager
+from jiminy_tpu.quantities.trajectory import (
+    ReferenceQuantity,
+    ReferenceTrajectory,
+    TrajectoryDataset,
+    make_tracking_target,
+)
 
 __all__ = [
     "QuantityManager",
@@ -54,4 +60,8 @@ __all__ = [
     "BaseOdometryPose",
     "BaseOdometryVelocity",
     "BaseRelativeHeight",
+    "TrajectoryDataset",
+    "ReferenceTrajectory",
+    "ReferenceQuantity",
+    "make_tracking_target",
 ]
