@@ -236,11 +236,7 @@ def build_pipeline(config: dict):
     reward_cfg = config.get("reward")
     term_cfgs = config.get("terminations", ())
     if reward_cfg or term_cfgs:
-        reward_fn = None
-        if reward_cfg:
-            reward_cfg = dict(reward_cfg)
-            fn = _resolve(reward_cfg.pop("cls"))
-            reward_fn = fn(**reward_cfg) if reward_cfg else fn
+        reward_fn = _build_reward(reward_cfg) if reward_cfg else None
         terms = []
         for tc in term_cfgs:
             tc = dict(tc)
@@ -248,6 +244,24 @@ def build_pipeline(config: dict):
             terms.append(fn(**tc) if tc else fn)
         env = ComposedEnv(env, reward=reward_fn, terminations=terms)
     return env
+
+
+def _build_reward(cfg):
+    """Build a reward (possibly a weighted mixture of sub-rewards)."""
+    import jax.numpy as _jnp
+
+    cfg = dict(cfg)
+    if "components" in cfg:
+        from jiminy_tpu.compositions import AdditiveMixtureReward
+
+        comps = [_build_reward(c) for c in cfg["components"]]
+        return AdditiveMixtureReward(comps, weights=cfg.get("weights"))
+    fn = _resolve(cfg.pop("cls"))
+    # TOML lists become jnp arrays for targets
+    for k, v in list(cfg.items()):
+        if isinstance(v, list):
+            cfg[k] = _jnp.asarray(v)
+    return fn(**cfg) if isinstance(fn, type) else fn
 
 
 def load_pipeline(path: str):

@@ -52,6 +52,10 @@ class PPOConfig:
     caps_spatial_reg: float = 0.0
     caps_global_reg: float = 0.0
     spatial_noise_std: float = 0.1
+    # SGLD-style adversarial spatial noise (reference `ppo.py:71`): refine the
+    # gaussian perturbation with `spatial_sgld_steps` signed-gradient-ascent
+    # steps maximizing the policy change before penalizing it.
+    spatial_sgld_steps: int = 0
     l2_reg: float = 0.0
     # Policy symmetry surrogate (reference ppo.py:151): weight of
     # E‖π(mirror_obs(s)) − mirror_act(π(s))‖²; mirror fns passed to make_train.
@@ -203,6 +207,22 @@ def make_train(
             noise = config.spatial_noise_std * jax.random.normal(
                 key, batch["obs"].shape, batch["obs"].dtype
             )
+            if config.spatial_sgld_steps > 0:
+                # Adversarial refinement: signed-gradient ascent on the policy
+                # change wrt the perturbation (SGLD flavor, reference ppo.py:71)
+                step_size = config.spatial_noise_std / max(config.spatial_sgld_steps, 1)
+
+                def policy_change(n):
+                    m, _, _ = network.apply(params, batch["obs"] + n)
+                    return jnp.sum((mean - m) ** 2)
+
+                for _ in range(config.spatial_sgld_steps):
+                    g = jax.grad(policy_change)(noise)
+                    noise = jnp.clip(
+                        noise + step_size * jnp.sign(g),
+                        -2 * config.spatial_noise_std,
+                        2 * config.spatial_noise_std,
+                    )
             mean_noisy, _, _ = network.apply(params, batch["obs"] + noise)
             total = total + config.caps_spatial_reg * jnp.mean(
                 jnp.sum((mean - mean_noisy) ** 2, axis=-1)
