@@ -16,6 +16,12 @@ import time
 import jax
 import jax.numpy as jnp
 
+# Persistent compilation cache: first compile of the fused program takes
+# ~10-25 min through the remote-compile relay; subsequent runs are seconds.
+_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 REFERENCE_STEPS_PER_SEC = 3650.0  # pipeline_benchmark.py:46 (1 env, 1 CPU core)
 
 

@@ -12,6 +12,14 @@ from jiminy_tpu.envs import builders
 from jiminy_tpu.gym.base import BaseEnv
 
 
+def _cmd1(action, lo, hi):
+    """Coerce an action to a (..., 1) motor command (batch-transparent)."""
+    a = jnp.atleast_1d(jnp.asarray(action))
+    if a.shape[-1] != 1:
+        a = a[..., None]
+    return jnp.clip(a, lo, hi)
+
+
 def _toy_options(dt=1e-3, **kw):
     return EngineOptions(
         stepper=StepperOptions(integrator=IntegratorType.RUNGE_KUTTA_4, dt_max=dt, **kw),
@@ -48,8 +56,11 @@ class CartPoleEnv(BaseEnv):
 
     def _action_to_command(self, state, action, obs):
         if self.discrete:
-            return jnp.where(action > 0, 10.0, -10.0).reshape((1,)).astype(self.engine.dtype)
-        return jnp.clip(jnp.reshape(action, (1,)), -10.0, 10.0)
+            a = jnp.atleast_1d(jnp.asarray(action))
+            if a.shape[-1] != 1:
+                a = a[..., None]
+            return jnp.where(a > 0, 10.0, -10.0).astype(self.engine.dtype)
+        return _cmd1(action, -10.0, 10.0)
 
     def _compute_reward(self, state, action, next_state):
         return jnp.asarray(1.0, self.engine.dtype)
@@ -101,8 +112,11 @@ class AcrobotEnv(BaseEnv):
 
     def _action_to_command(self, state, action, obs):
         if self.continuous:
-            return jnp.clip(jnp.reshape(action, (1,)), -10.0, 10.0)
-        return (jnp.reshape(action, (1,)) - 1.0) * 10.0
+            return _cmd1(action, -10.0, 10.0)
+        a = jnp.atleast_1d(jnp.asarray(action))
+        if a.shape[-1] != 1:
+            a = a[..., None]
+        return (a - 1.0) * 10.0
 
     def _compute_reward(self, state, action, next_state):
         return jnp.where(self._tip_height(next_state) > 1.0, 0.0, -1.0).astype(
@@ -133,12 +147,12 @@ class PendulumEnv(BaseEnv):
         return jnp.stack([jnp.cos(q[..., 0]), jnp.sin(q[..., 0]), v[..., 0]], axis=-1)
 
     def _action_to_command(self, state, action, obs):
-        return jnp.clip(jnp.reshape(action, (1,)), -2.0, 2.0)
+        return _cmd1(action, -2.0, 2.0)
 
     def _compute_reward(self, state, action, next_state):
         q = next_state.sim.q[..., 0]
         # Angle error w.r.t. upright (q = pi)
         err = jnp.arctan2(jnp.sin(q - np.pi), jnp.cos(q - np.pi))
         v = next_state.sim.v[..., 0]
-        u = jnp.reshape(jnp.asarray(action, self.engine.dtype), (1,))[0]
+        u = jnp.atleast_1d(jnp.asarray(action, self.engine.dtype))[..., 0]
         return -(err**2 + 0.1 * v**2 + 0.001 * u**2)

@@ -176,14 +176,25 @@ class AutoResetWrapper:
     def step(self, state, action):
         state, obs, reward, terminated, truncated, info = self.env.step(state, action)
         done = terminated | truncated
-        key, sub = jax.random.split(state.key)
-        fresh, fresh_obs = self.env.reset(sub)
-        fresh = fresh.replace(key=key)
+        if state.key.ndim >= 2:
+            # Explicitly-batched states (Pallas fast path): per-env keys/resets
+            keys = jax.vmap(jax.random.split)(state.key)
+            key, sub = keys[..., 0, :], keys[..., 1, :]
+            fresh, fresh_obs = jax.vmap(self.env.reset)(sub)
+            fresh = fresh.replace(key=key)
+        else:
+            key, sub = jax.random.split(state.key)
+            fresh, fresh_obs = self.env.reset(sub)
+            fresh = fresh.replace(key=key)
 
         def pick(a, b):
-            # Scalar `done` broadcasts against every leaf (used under vmap the
-            # batch axis is added outside, so `done` is always a scalar here).
-            return jax.tree.map(lambda x, y: jnp.where(done, y, x), a, b)
+            # `done` is scalar under vmap, (B,) on explicitly-batched states;
+            # pad trailing dims so it broadcasts against every leaf.
+            def sel(x, y):
+                d = done.reshape(done.shape + (1,) * (x.ndim - done.ndim))
+                return jnp.where(d, y, x)
+
+            return jax.tree.map(sel, a, b)
 
         state = pick(state, fresh)
         obs = pick(obs, fresh_obs)

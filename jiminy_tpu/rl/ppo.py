@@ -57,6 +57,10 @@ class PPOConfig:
     # steps maximizing the policy change before penalizing it.
     spatial_sgld_steps: int = 0
     l2_reg: float = 0.0
+    # Env vectorization: "vmap" (default) or "batched" — the latter steps the
+    # env on explicitly-batched states (no per-env vmap), which activates the
+    # engine's Pallas megakernel fast path on TPU (~3x rollout throughput).
+    vectorization: str = "vmap"
     # Policy symmetry surrogate (reference ppo.py:151): weight of
     # E‖π(mirror_obs(s)) − mirror_act(π(s))‖²; mirror fns passed to make_train.
     symmetry_reg: float = 0.0
@@ -99,6 +103,14 @@ def make_train(
     """
     env = AutoResetWrapper(env)
     network = ActorCritic(env.action_size, hidden=config.hidden)
+    batched = config.vectorization == "batched"
+
+    def flat_obs(obs):
+        """Flatten a pytree observation with leading env axis to (B, obs_dim)."""
+        leaves = jax.tree.leaves(obs)
+        return jnp.concatenate(
+            [x.reshape(x.shape[0], -1) for x in leaves], axis=-1
+        )
     tx_parts = [optax.clip_by_global_norm(config.max_grad_norm)]
     if config.anneal_lr:
         sched = optax.linear_schedule(config.lr, 0.0, config.total_iterations
@@ -120,6 +132,7 @@ def make_train(
         if data_sharding is not None:
             env_keys = jax.device_put(env_keys, data_sharding)
         env_state, obs = jax.jit(jax.vmap(env.reset))(env_keys)
+        obs = flat_obs(obs)
         params = network.init(k_net, obs[:1])
         opt_state = tx.init(params)
         return PPOState(
@@ -140,9 +153,15 @@ def make_train(
                 k_act, mean.shape, mean.dtype
             )
             logp = _gaussian_logp(mean, log_std, action)
-            env_state, next_obs, reward, term, trunc, info = jax.vmap(env.step)(
-                env_state, action
-            )
+            if batched:
+                env_state, next_obs, reward, term, trunc, info = env.step(
+                    env_state, action
+                )
+            else:
+                env_state, next_obs, reward, term, trunc, info = jax.vmap(env.step)(
+                    env_state, action
+                )
+            next_obs = flat_obs(next_obs)
             done = term | trunc
             data = {
                 "obs": obs,
