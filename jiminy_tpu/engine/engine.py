@@ -75,11 +75,18 @@ class Engine:
         import numpy as _np
 
         self._group_has_noise = {}
+        self._group_needs_ring = {}
         for name, g in robot.sensors.groups():
             try:
                 self._group_has_noise[name] = bool(_np.any(_np.asarray(g.noise_std) != 0.0))
             except Exception:
                 self._group_has_noise[name] = True
+            try:
+                self._group_needs_ring[name] = bool(
+                    _np.max(_np.asarray(g.delay)) + _np.max(_np.asarray(g.jitter)) > 0.0
+                )
+            except Exception:
+                self._group_needs_ring[name] = True
         # Constraint registry: in CONSTRAINT contact mode all registries are
         # active; in SPRING_DAMPER mode only loop closures go through the solver
         # (the reference routes USER constraints through PGS in both modes).
@@ -446,9 +453,11 @@ class Engine:
         groups = list(suite.groups())
         if not groups:
             return state.replace(measurements={})
-        if state.t.ndim >= 1:
-            # Explicitly-batched state (Pallas fast path): ring-buffer indexing
-            # is per-env, so vmap just this stage.
+        any_ring = any(self._group_needs_ring.get(n, True) for n, _ in groups)
+        any_noise = any(self._group_has_noise.get(n, True) for n, _ in groups)
+        if state.t.ndim >= 1 and (any_ring or any_noise):
+            # Explicitly-batched state with delay lines or per-env noise:
+            # ring indexing / key splitting are per-env, so vmap this stage.
             return jax.vmap(lambda s, a_, x: self._update_sensors(s, a_, x))(
                 state, a, aux
             )
@@ -466,10 +475,17 @@ class Engine:
             raw = g.compute_raw(
                 robot.model, kin, state.q, state.v, a, aux["u_motor"], contact_f
             )
+            noisy = self._group_has_noise.get(name, True)
+            sub = None
+            if noisy:
+                key, sub = jax.random.split(key)
+            if not self._group_needs_ring.get(name, True):
+                # Delay-free group: measurement = raw + noise/bias directly —
+                # no ring traffic, batch-transparent (Pallas fast path).
+                meas[name] = g._apply_noise_bias(raw, sub if noisy else None)
+                continue
             ring = rings[name].push(state.t, raw)
             rings[name] = ring
-            key, sub = jax.random.split(key)
-            noisy = self._group_has_noise.get(name, True)
             meas[name] = g.measure(ring, state.t, sub if noisy else None)
         return state.replace(sensor_rings=rings, measurements=meas, key=key)
 
