@@ -108,6 +108,9 @@ class Engine:
             if self.options.joint_bounds_mode == "penalty"
             else {}
         )
+        self._has_joint_damping = bool(
+            _np.any(_np.asarray(robot.model.damping) != 0.0)
+        )
         self._cdyn = None
         fast_opt = self.options.use_fast_dynamics
         fast_enabled = fast_opt == "always" or (
@@ -247,6 +250,8 @@ class Engine:
             fext_user = fext_extra if fext_user is None else fext_user + fext_extra
 
         u = internal_mod.flexibility_torque(robot, q, v)
+        if self._has_joint_damping:
+            u = u - model.damping * v
 
         if robot.motors is not None and robot.motors.nmotors:
             u_motor, u_full = robot.motors.compute_efforts(command, v)

@@ -173,6 +173,7 @@ def _add_flexibility_joints(model: RobotModel, flex_specs) -> tuple[RobotModel, 
             "com": np.asarray(model.com)[i],
             "inertia": np.asarray(model.inertia)[i],
             "armature": np.asarray(model.armature)[model.idx_v[i] : model.idx_v[i] + model.nv_of(i)],
+            "damping": np.asarray(model.damping)[model.idx_v[i] : model.idx_v[i] + model.nv_of(i)],
             "position_limit": (
                 np.asarray(model.position_limit_lower)[
                     model.idx_q[i] : model.idx_q[i] + model.nq_of(i)
@@ -407,6 +408,9 @@ def _add_backlash_joints(model: RobotModel, bank: MotorBank):
             "com": np.asarray(model.com)[i],
             "inertia": np.asarray(model.inertia)[i],
             "armature": np.asarray(model.armature)[
+                model.idx_v[i] : model.idx_v[i] + model.nv_of(i)
+            ],
+            "damping": np.asarray(model.damping)[
                 model.idx_v[i] : model.idx_v[i] + model.nv_of(i)
             ],
             "position_limit": (

@@ -65,7 +65,7 @@ def AtlasPDControlEnv(step_dt: float = 0.04, horizon: int = 500,
 
 
 def CassiePDControlEnv(step_dt: float = 0.04, horizon: int = 500,
-                       kp=0.5, kd=0.05, **kw):
+                       kp=0.3, kd=0.15, **kw):
     env = CassieEnv(step_dt=step_dt, horizon=horizon, **kw)
     pd = PDController(kp=kp, kd=kd).setup(env)
     return ControlledEnv(env, pd)

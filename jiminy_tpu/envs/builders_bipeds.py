@@ -27,7 +27,8 @@ def _leg_cassie(joint_specs, frame_specs, parent, side, y_off):
     sy = 1.0 if side == "l" else -1.0
     thigh_l, shin_l, tarsus_l = 0.12, 0.435, 0.408
 
-    def add(name, parent, pos, axis, mass, com, inertia, lim, eff=80.0, vel=12.0):
+    def add(name, parent, pos, axis, mass, com, inertia, lim, eff=80.0, vel=12.0,
+            damping=0.1):
         joint_specs.append(
             {
                 "name": name,
@@ -38,6 +39,7 @@ def _leg_cassie(joint_specs, frame_specs, parent, side, y_off):
                 "mass": mass,
                 "com": np.asarray(com, float),
                 "inertia": inertia,
+                "damping": damping,
                 "position_limit": (np.array([lim[0]]), np.array([lim[1]])),
                 "effort_limit": eff,
                 "velocity_limit": vel,
@@ -55,7 +57,7 @@ def _leg_cassie(joint_specs, frame_specs, parent, side, y_off):
                0.76, [0.05, 0, -shin_l / 2], _rod_inertia(0.76, shin_l), (-2.86, -0.64))
     tarsus = add(f"tarsus_joint_{side}", knee, [0.06, 0.0, -shin_l], _Y,
                  0.78, [0.1, 0, -tarsus_l / 2], _rod_inertia(0.78, tarsus_l),
-                 (0.65, 2.97), eff=0.0)
+                 (0.65, 2.97), eff=0.0, damping=1.0)
     toe = add(f"toe_joint_{side}", tarsus, [0.2, 0.0, -tarsus_l], _Y,
               0.15, [0.02, 0, -0.01], np.eye(3) * 2e-4, (-2.44, -0.52), eff=30.0)
 
@@ -100,7 +102,7 @@ def build_cassie() -> Robot:
     return Robot.build(
         model,
         motors=[{"joint_name": n, "mechanical_reduction": 25.0,
-                 "armature": 6.0e-5} for n in motor_names],
+                 "armature": 3.0e-4} for n in motor_names],
         sensors={
             "encoder": [{"motor_name": n} for n in motor_names],
             "effort": [{"motor_name": n} for n in motor_names],
@@ -165,7 +167,7 @@ def build_digit() -> Robot:
     return Robot.build(
         model,
         motors=[{"joint_name": n, "mechanical_reduction": 25.0,
-                 "armature": 6.0e-5} for n in motors],
+                 "armature": 3.0e-4} for n in motors],
         sensors={
             "encoder": [{"motor_name": n} for n in motors],
             "imu": [{"frame_name": "torso"}],

@@ -46,6 +46,7 @@ class RobotModel:
     com: jnp.ndarray  # (nj, 3) CoM in joint frame
     inertia: jnp.ndarray  # (nj, 3, 3) rotational inertia about the CoM, joint frame
     armature: jnp.ndarray  # (nv,) rotor inertia added to the mass-matrix diagonal
+    damping: jnp.ndarray  # (nv,) passive viscous joint damping (URDF <dynamics>)
     # Limits (pinocchio-model level; motors refine these):
     position_limit_lower: jnp.ndarray  # (nq,)
     position_limit_upper: jnp.ndarray  # (nq,)
@@ -137,7 +138,7 @@ def build_model(
     mass = np.zeros(nj)
     com = np.zeros((nj, 3))
     inertia = np.zeros((nj, 3, 3))
-    armature_list, pos_lo, pos_hi, vel_lim, eff_lim = [], [], [], [], []
+    armature_list, damping_list, pos_lo, pos_hi, vel_lim, eff_lim = [], [], [], [], [], []
 
     for i, spec in enumerate(joint_specs):
         t = jt.JointType(spec["type"])
@@ -156,6 +157,7 @@ def build_model(
         com[i] = np.asarray(spec.get("com", np.zeros(3)))
         inertia[i] = np.asarray(spec.get("inertia", np.zeros((3, 3))))
         armature_list.extend(np.broadcast_to(np.asarray(spec.get("armature", 0.0)), (nv_j,)))
+        damping_list.extend(np.broadcast_to(np.asarray(spec.get("damping", 0.0)), (nv_j,)))
         lo, hi = spec.get("position_limit", (None, None))
         if t == jt.JointType.FREE:
             default_lo = np.concatenate([np.full(3, -np.inf), np.full(4, -1.0)])
@@ -198,6 +200,7 @@ def build_model(
         com=asarr(com),
         inertia=asarr(inertia),
         armature=asarr(np.array(armature_list) if armature_list else np.zeros(0)),
+        damping=asarr(np.array(damping_list) if damping_list else np.zeros(0)),
         position_limit_lower=asarr(np.array(pos_lo) if pos_lo else np.zeros(0)),
         position_limit_upper=asarr(np.array(pos_hi) if pos_hi else np.zeros(0)),
         velocity_limit=asarr(np.array(vel_lim) if vel_lim else np.zeros(0)),

@@ -161,6 +161,8 @@ def build_model_from_urdf(
             )
             nrm = np.linalg.norm(axis)
             axis = axis / nrm if nrm > 0 else axis
+            dyn_el = joint.find("dynamics")
+            damping = float(dyn_el.get("damping", "0")) if dyn_el is not None else 0.0
             limit_el = joint.find("limit")
             lo = hi = None
             eff = vel = np.inf
@@ -183,6 +185,7 @@ def build_model_from_urdf(
                     "parent": parent_joint,
                     "placement": (a_rot, a_pos),
                     "axis": axis,
+                    "damping": damping,
                     "position_limit": (lo, hi),
                     "velocity_limit": vel,
                     "effort_limit": eff,

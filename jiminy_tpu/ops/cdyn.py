@@ -215,6 +215,7 @@ class _Consts:
         self.com = np.asarray(model.com, dtype=np.float64)
         self.inertia = np.asarray(model.inertia, dtype=np.float64)
         self.armature = np.asarray(model.armature, dtype=np.float64)
+        self.damping = np.asarray(model.damping, dtype=np.float64)
         self.frame_parents = model.frame_parents
         self.frot = np.asarray(model.fplacement_rot, dtype=np.float64)
         self.fpos = np.asarray(model.fplacement_pos, dtype=np.float64)
@@ -396,6 +397,12 @@ class ComponentDynamics:
         """Component-level dynamics core: lists in, lists out (used directly
         by the Pallas megakernel where each component is one VPU tile)."""
         c = self.c
+        # Passive viscous joint damping (constants baked in; skipped when zero)
+        if np.any(c.damping != 0.0):
+            tc = [
+                tc[i] - float(c.damping[i]) * vc[i] if c.damping[i] != 0.0 else tc[i]
+                for i in range(len(tc))
+            ]
         xs = self._joint_x(qc)
 
         # Pass 1: velocities + bias, and body-frame articulated inertia init
