@@ -233,7 +233,7 @@ class Engine:
         coupling forces are injected here).
         """
         robot = self.robot
-        model = robot.model
+        model = self._model_of(carry)
         nc = len(robot.contact_frame_indices)
         batch = q.shape[:-1]
 
@@ -266,7 +266,11 @@ class Engine:
             )
             if fext_user is not None:
                 fext = fext + fext_user
-            if self._cdyn is not None and fext_user is None:
+            if (
+                self._cdyn is not None
+                and fext_user is None
+                and (carry is None or carry.get("model") is None)
+            ):
                 # Fused path: contacts + penalty bounds evaluated inside cdyn
                 # (identical values; the generic contact pass above only feeds
                 # the sensor/telemetry aux outputs).
@@ -330,7 +334,7 @@ class Engine:
 
     def _constrained_accel(self, t, q, v, u, fext, kin, carry):
         """PGS-constrained forward dynamics path."""
-        model = self.robot.model
+        model = self._model_of(carry)
         batch = q.shape[:-1]
         cset = self.cset
         if carry is None:
@@ -372,7 +376,8 @@ class Engine:
         return csys, res.qdd, res.lam
 
     def _accel_fn(self, command, carry=None) -> Callable:
-        if self._cdyn is not None and self.external_force_fn is None:
+        has_override = carry is not None and carry.get("model") is not None
+        if self._cdyn is not None and self.external_force_fn is None and not has_override:
             robot = self.robot
 
             def f(t, q, v):
@@ -391,14 +396,24 @@ class Engine:
             "bound_active": state.bound_active,
             "lam": state.lam,
             "distance_ref": state.distance_ref,
+            "model": state.model_params,
         }
+
+    def _model_of(self, carry) -> "object":
+        if carry is not None and carry.get("model") is not None:
+            return carry["model"]
+        return self.robot.model
 
     # ------------------------------------------------------------------ #
     # State construction
     # ------------------------------------------------------------------ #
-    def reset(self, q0, v0=None, key=None) -> SimState:
-        """Initial consistent state (reference `Engine::start` fixed-point init)."""
-        model = self.robot.model
+    def reset(self, q0, v0=None, key=None, model_params=None) -> SimState:
+        """Initial consistent state (reference `Engine::start` fixed-point init).
+
+        `model_params`: optional RobotModel with biased array leaves — the env
+        then simulates these parameters (vmap a batch of them for per-env
+        domain randomization)."""
+        model = model_params if model_params is not None else self.robot.model
         q0 = jnp.asarray(q0, self.dtype)
         v0 = jnp.zeros((model.nv,), self.dtype) if v0 is None else jnp.asarray(v0, self.dtype)
         q0 = integ.normalize(model, q0)
@@ -417,6 +432,7 @@ class Engine:
             "bound_active": jnp.zeros((cset.n_bounds,), bool),
             "lam": jnp.zeros((cset.total_rows,), self.dtype),
             "distance_ref": dist_ref,
+            "model": model_params,
         }
         a0, aux = self.dynamics_full(jnp.asarray(0.0, self.dtype), q0, v0, command, carry0)
         nc = len(self.robot.contact_frame_indices)
@@ -444,6 +460,7 @@ class Engine:
             bound_active=aux.get("bound_active", carry0["bound_active"]),
             lam=aux.get("lam", carry0["lam"]),
             distance_ref=dist_ref,
+            model_params=model_params,
         )
         # Prime sensors at t=0 so the first observation is valid
         st = self._update_sensors(st, a0, aux)
@@ -466,7 +483,10 @@ class Engine:
             return jax.vmap(lambda s, a_, x: self._update_sensors(s, a_, x))(
                 state, a, aux
             )
-        kin = forward_kinematics(robot.model, state.q, state.v, a)
+        model_s = (
+            state.model_params if state.model_params is not None else robot.model
+        )
+        kin = forward_kinematics(model_s, state.q, state.v, a)
         contact_f = {
             "gravity": self.gravity,
             "contact_forces_local": aux["contact_w_local"][..., 3:6],

@@ -44,3 +44,8 @@ class SimState:
     bound_active: jnp.ndarray = None  # (nb,) bool
     lam: jnp.ndarray = None  # (N,) warm-started PGS multipliers
     distance_ref: jnp.ndarray = None  # (nd,) loop-closure reference lengths
+    # Optional per-env model override (randomized dynamical parameters): a
+    # RobotModel pytree whose ARRAY leaves replace the engine robot's — under
+    # vmap each env then simulates its own biased model (the reference's
+    # `addBiasedToExtendedModel` per-reset behavior, batched)
+    model_params: Any = None

@@ -87,6 +87,21 @@ class WalkerEnv(BaseEnv):
             q = q.at[7:].add(noise)
         return q, jnp.zeros((model.nv,), model.dtype)
 
+    def _sample_model_params(self, key):
+        """Per-env dynamical randomization scaled by std_ratio (reference
+        `WalkerJiminyEnv` model biasing)."""
+        if self.std_ratio <= 0.0:
+            return None
+        from jiminy_tpu.engine.randomization import randomize_model
+
+        return randomize_model(
+            self.robot.model,
+            key,
+            mass_std=0.05 * self.std_ratio,
+            com_std=0.005 * self.std_ratio,
+            inertia_std=0.05 * self.std_ratio,
+        )
+
     def base_height(self, state: EnvState):
         return state.sim.q[..., 2]
 

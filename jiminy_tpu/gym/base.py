@@ -84,6 +84,12 @@ class BaseEnv:
         model = self.robot.model
         return model.neutral(), jnp.zeros((model.nv,), model.dtype)
 
+    def _sample_model_params(self, key):
+        """Optional per-reset model randomization: return a biased RobotModel
+        (array leaves) or None (reference `addBiasedToExtendedModel` hook).
+        Under vmapped resets each env gets its own parameters."""
+        return None
+
     def observe(self, state: EnvState):
         """Default observation: t, q, v and the sensor measurement tree
         (reference obs space, `envs/generic.py` + `utils/spaces.py:107-244`)."""
@@ -108,9 +114,10 @@ class BaseEnv:
     # Core API
     # ------------------------------------------------------------------ #
     def reset(self, key) -> Tuple[EnvState, Any]:
-        k_state, k_sim, k_env = jax.random.split(key, 3)
+        k_state, k_sim, k_env, k_model = jax.random.split(key, 4)
         q0, v0 = self._sample_state(k_state)
-        sim = self.engine.reset(q0, v0, key=k_sim)
+        model_params = self._sample_model_params(k_model)
+        sim = self.engine.reset(q0, v0, key=k_sim, model_params=model_params)
         state = EnvState(
             sim=sim,
             steps=jnp.asarray(0, jnp.int32),
