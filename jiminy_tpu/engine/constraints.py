@@ -51,6 +51,11 @@ class ConstraintSet:
     # Closed loops: ((frame_a, frame_b), ...)
     distance_pairs: tuple = struct.field(pytree_node=False, default=())
     distance_ref: jnp.ndarray = struct.field(default_factory=lambda: jnp.zeros(0))
+    # Rolling-without-slip: spheres ((frame_idx, radius), ...) and wheels
+    # ((frame_idx, radius, (ax, ay, az)), ...) — reference `SphereConstraint`/
+    # `WheelConstraint`, 3 unbounded rows each
+    sphere_specs: tuple = struct.field(pytree_node=False, default=())
+    wheel_specs: tuple = struct.field(pytree_node=False, default=())
 
     @property
     def n_bounds(self) -> int:
@@ -65,12 +70,17 @@ class ConstraintSet:
         return len(self.distance_pairs)
 
     @property
+    def n_rolling(self) -> int:
+        return len(self.sphere_specs) + len(self.wheel_specs)
+
+    @property
     def total_rows(self) -> int:
-        return self.n_bounds + 4 * self.n_contacts + self.n_distance
+        return self.n_bounds + 4 * self.n_contacts + self.n_distance + 3 * self.n_rolling
 
     def row_offsets(self):
-        """(bounds_start, contacts_start, distance_start)."""
-        return 0, self.n_bounds, self.n_bounds + 4 * self.n_contacts
+        """(bounds_start, contacts_start, distance_start, rolling_start)."""
+        off_d = self.n_bounds + 4 * self.n_contacts
+        return 0, self.n_bounds, off_d, off_d + self.n_distance
 
 
 class ConstraintSystem(NamedTuple):
@@ -109,11 +119,20 @@ def build_constraint_set(
          model.frame_index(b) if isinstance(b, str) else b)
         for a, b in loop_pairs
     )
+    spheres, wheels = [], []
+    for name, radius, axis in getattr(robot, "rolling_specs", ()):
+        fidx = model.frame_index(name) if isinstance(name, str) else name
+        if axis is None:
+            spheres.append((fidx, radius))
+        else:
+            wheels.append((fidx, radius, tuple(axis)))
     return ConstraintSet(
         bound_joint_indices=tuple(bounds),
         contact_frame_indices=robot.contact_frame_indices if include_contacts else (),
         distance_pairs=pairs,
         distance_ref=jnp.zeros(len(pairs), model.dtype),
+        sphere_specs=tuple(spheres),
+        wheel_specs=tuple(wheels),
     )
 
 
@@ -154,6 +173,7 @@ def compute_constraint_system(
     prev_contact_active: jnp.ndarray,
     prev_bound_active: jnp.ndarray,
     distance_ref: Optional[jnp.ndarray] = None,
+    rolling_ref: Optional[jnp.ndarray] = None,
 ) -> ConstraintSystem:
     """Assemble (J, γ, active) for all registered constraints.
 
@@ -172,7 +192,7 @@ def compute_constraint_system(
 
     omega = 2.0 * math.pi * opts.stabilization_freq
     kp, kd = omega * omega, 2.0 * omega
-    off_b, off_c, off_d = cset.row_offsets()
+    off_b, off_c, off_d, off_r = cset.row_offsets()
 
     # ---------------- joint bounds ----------------
     bound_active_list = []
@@ -288,6 +308,75 @@ def compute_constraint_system(
         jac = jac.at[..., row, :].set(row_jac)
         drift = drift.at[..., row].set(g)
         active = active.at[..., row].set(jnp.ones(batch, bool))
+
+    # ---------------- rolling constraints (spheres, wheels) ----------------
+    def _frame_wa(fidx):
+        fpl = frame_placement(model, kin_bias, fidx)
+        vl = frame_velocity_local(model, kin_bias, fidx)
+        parent = model.frame_parents[fidx]
+        asp = lie.motion_act_inv(model.frame_placement(fidx), kin_bias.acc[..., parent, :])
+        vw_ang = lie.mv(fpl.rot, vl[..., 0:3])
+        vw_lin = lie.mv(fpl.rot, vl[..., 3:6])
+        aw_lin = lie.mv(fpl.rot, asp[..., 3:6]) + jnp.cross(vw_ang, vw_lin)
+        aw_ang = lie.mv(fpl.rot, asp[..., 0:3])
+        jf = frame_jacobian_world_aligned(model, kin_bias, jac_world, fidx)
+        return fpl, vw_ang, vw_lin, aw_ang, aw_lin, jf
+
+    rolling_slot = 0
+    ez = jnp.asarray([0.0, 0.0, 1.0], dtype)
+    for fidx, radius in cset.sphere_specs:
+        fpl, w_w, v_w, a_ang, a_lin, jf = _frame_wa(fidx)
+        # skewRadius = r * skew(n): contact point at -r n (reference
+        # `sphere_constraint.cc`)
+        n = jnp.broadcast_to(ez, batch + (3,))
+        sk = radius * lie.skew(n)
+        row_jac = jf[..., 3:6, :] + lie.mm(sk, jf[..., 0:3, :])
+        ref_h = rolling_ref[..., rolling_slot] if rolling_ref is not None else fpl.pos[..., 2]
+        delta = fpl.pos[..., 2] - ref_h
+        vel = v_w + lie.mv(sk, w_w)
+        g = a_lin + lie.mv(sk, a_ang) + kp * delta[..., None] * n + kd * vel
+        row = off_r + 3 * rolling_slot
+        jac = jac.at[..., row : row + 3, :].set(row_jac)
+        drift = drift.at[..., row : row + 3].set(g)
+        for r_i in range(3):
+            active = active.at[..., row + r_i].set(jnp.ones(batch, bool))
+        rolling_slot += 1
+
+    for fidx, radius, axis in cset.wheel_specs:
+        fpl, w_w, v_w, a_ang, a_lin, jf = _frame_wa(fidx)
+        n = jnp.broadcast_to(ez, batch + (3,))
+        axis_w = lie.mv(fpl.rot, jnp.asarray(axis, dtype))
+        x = jnp.cross(jnp.cross(axis_w, n), axis_w)
+        x_norm = jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-9)
+        y = x / x_norm
+        sk = radius * lie.skew(y)
+        row_jac = jf[..., 3:6, :] + lie.mm(sk, jf[..., 0:3, :])
+        ref_h = rolling_ref[..., rolling_slot] if rolling_ref is not None else fpl.pos[..., 2]
+        delta = (
+            fpl.pos[..., 2]
+            - ref_h
+            + radius * (n[..., 2] - y[..., 2])
+        )
+        daxis = jnp.cross(w_w, axis_w)
+        dx = jnp.cross(jnp.cross(daxis, n), axis_w) + jnp.cross(
+            jnp.cross(axis_w, n), daxis
+        )
+        z = dx / x_norm
+        dy = z - jnp.sum(y * z, axis=-1, keepdims=True) * y
+        vel = v_w + lie.mv(sk, w_w)
+        g = (
+            a_lin
+            + lie.mv(sk, a_ang)
+            + lie.mv(radius * lie.skew(dy), w_w)
+            + kp * delta[..., None] * n
+            + kd * vel
+        )
+        row = off_r + 3 * rolling_slot
+        jac = jac.at[..., row : row + 3, :].set(row_jac)
+        drift = drift.at[..., row : row + 3].set(g)
+        for r_i in range(3):
+            active = active.at[..., row + r_i].set(jnp.ones(batch, bool))
+        rolling_slot += 1
 
     return ConstraintSystem(
         jac=jac,

@@ -303,7 +303,7 @@ class Engine:
         csys, a, lam = self._constrained_accel(t, q, v, u, fext, kin, carry)
         # Extract reported contact forces from multipliers: world force in the
         # normal basis (reference engine.cc:3770-3857 write-back)
-        off_b, off_c, _ = self.cset.row_offsets()
+        off_b, off_c, _, _ = self.cset.row_offsets()
         if nc:
             lam_c = lam[..., off_c : off_c + 4 * nc]
             lam_blocks = lam_c.reshape(lam_c.shape[:-1] + (nc, 4))
@@ -357,6 +357,7 @@ class Engine:
             carry["contact_active"],
             carry["bound_active"],
             distance_ref=carry["distance_ref"],
+            rolling_ref=carry.get("rolling_ref"),
         )
         res = constrained_forward_dynamics(
             model,
@@ -396,6 +397,7 @@ class Engine:
             "bound_active": state.bound_active,
             "lam": state.lam,
             "distance_ref": state.distance_ref,
+            "rolling_ref": state.rolling_ref,
             "model": state.model_params,
         }
 
@@ -422,16 +424,34 @@ class Engine:
         nm = self.robot.nmotors
         command = jnp.zeros((nm,), self.dtype)
         cset = self.cset
-        if cset.n_distance:
+        if cset.n_distance or cset.n_rolling:
             kin0 = forward_kinematics(model, q0)
-            dist_ref = compute_distance_refs(model, cset, kin0)
+            dist_ref = (
+                compute_distance_refs(model, cset, kin0)
+                if cset.n_distance
+                else jnp.zeros((0,), self.dtype)
+            )
+            from jiminy_tpu.ops.kinematics import frame_placement as _fp
+
+            roll_frames = [f for f, _ in cset.sphere_specs] + [
+                f for f, _, _ in cset.wheel_specs
+            ]
+            roll_ref = (
+                jnp.stack(
+                    [_fp(model, kin0, f).pos[..., 2] for f in roll_frames], axis=-1
+                )
+                if roll_frames
+                else jnp.zeros((0,), self.dtype)
+            )
         else:
             dist_ref = jnp.zeros((0,), self.dtype)
+            roll_ref = jnp.zeros((0,), self.dtype)
         carry0 = {
             "contact_active": jnp.zeros((cset.n_contacts,), bool),
             "bound_active": jnp.zeros((cset.n_bounds,), bool),
             "lam": jnp.zeros((cset.total_rows,), self.dtype),
             "distance_ref": dist_ref,
+            "rolling_ref": roll_ref,
             "model": model_params,
         }
         a0, aux = self.dynamics_full(jnp.asarray(0.0, self.dtype), q0, v0, command, carry0)
@@ -460,6 +480,7 @@ class Engine:
             bound_active=aux.get("bound_active", carry0["bound_active"]),
             lam=aux.get("lam", carry0["lam"]),
             distance_ref=dist_ref,
+            rolling_ref=roll_ref,
             model_params=model_params,
         )
         # Prime sensors at t=0 so the first observation is valid

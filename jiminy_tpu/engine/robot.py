@@ -58,6 +58,9 @@ class Robot:
     # Backlash joints auto-inserted in series with motors that declare play
     # (reference `Robot::initializeExtendedModel`, `robot.cc:582-630`)
     backlash_joint_indices: tuple = struct.field(pytree_node=False, default=())
+    # Rolling-without-slip user constraints: ({"frame_name", "radius", ["axis"]},)
+    # (reference Sphere/WheelConstraint)
+    rolling_specs: tuple = struct.field(pytree_node=False, default=())
 
     @property
     def nq(self):
@@ -88,6 +91,7 @@ class Robot:
         contact_frames: Sequence[str] = (),
         flexibility: Sequence[dict] = (),
         loop_constraints: Sequence[tuple] = (),
+        rolling_constraints: Sequence[dict] = (),
         dtype=None,
     ) -> "Robot":
         """Assemble a robot.
@@ -136,6 +140,14 @@ class Robot:
             flexibility=flex_cfg,
             loop_pairs=tuple(tuple(p) for p in loop_constraints),
             backlash_joint_indices=backlash_idx,
+            rolling_specs=tuple(
+                (
+                    r["frame_name"],
+                    float(r["radius"]),
+                    tuple(r["axis"]) if "axis" in r else None,
+                )
+                for r in rolling_constraints
+            ),
         )
 
 

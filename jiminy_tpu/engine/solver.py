@@ -56,16 +56,20 @@ def pgs_solve(
     iter_max: int,
 ) -> jnp.ndarray:
     """Fixed-iteration PGS with boxed bounds and friction-cone projection."""
-    off_b, off_c, off_d = cset.row_offsets()
+    off_b, off_c, off_d, off_r = cset.row_offsets()
     dtype = b.dtype
 
     def dot_col(x, i):
         return jnp.einsum("...i,...i->...", A[..., :, i], x, precision=lie._HIGHEST)
 
     def sweep(x, w):
-        # 1) Unbounded constraints: distance loops (plain Gauss-Seidel)
+        # 1) Unbounded constraints: distance loops + rolling rows (plain GS)
         for k in range(cset.n_distance):
             i = off_d + k
+            y = b[..., i] - dot_col(x, i)
+            x = x.at[..., i].add(y / A[..., i, i])
+        for k in range(3 * cset.n_rolling):
+            i = off_r + k
             y = b[..., i] - dot_col(x, i)
             x = x.at[..., i].add(y / A[..., i, i])
 

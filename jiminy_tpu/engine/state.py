@@ -44,6 +44,7 @@ class SimState:
     bound_active: jnp.ndarray = None  # (nb,) bool
     lam: jnp.ndarray = None  # (N,) warm-started PGS multipliers
     distance_ref: jnp.ndarray = None  # (nd,) loop-closure reference lengths
+    rolling_ref: jnp.ndarray = None  # (nr,) rolling-contact reference heights
     # Optional per-env model override (randomized dynamical parameters): a
     # RobotModel pytree whose ARRAY leaves replace the engine robot's — under
     # vmap each env then simulates its own biased model (the reference's
