@@ -87,4 +87,15 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # The remote TPU tunnel occasionally throws transient FAILED_PRECONDITION
+    # errors; retry a couple of times before giving up.
+    for attempt in range(3):
+        try:
+            main()
+            break
+        except Exception as exc:  # noqa: BLE001
+            if attempt == 2:
+                raise
+            print(f"# bench attempt {attempt + 1} failed ({exc}); retrying",
+                  file=sys.stderr)
+            time.sleep(10.0)

@@ -419,3 +419,16 @@ def rpy_to_mat(rpy: jnp.ndarray) -> jnp.ndarray:
         ],
         axis=-2,
     )
+
+
+def quat_average(quats: jnp.ndarray, axis: int = -2) -> jnp.ndarray:
+    """Average of unit quaternions via the dominant eigenvector of the outer-
+    product accumulator (Markley et al. 2007; reference `quat_average`,
+    `gym_jiminy/common/utils/math.py`)."""
+    q = quats
+    m = jnp.einsum("...i,...j->...ij", q, q, precision=_HIGHEST)
+    m = jnp.sum(m, axis=axis - 1 if axis < 0 else axis)
+    _, vecs = jnp.linalg.eigh(m)
+    avg = vecs[..., -1]
+    # Fix the sign convention (w >= 0)
+    return avg * jnp.where(avg[..., 3:4] < 0, -1.0, 1.0)
