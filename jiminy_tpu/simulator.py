@@ -161,6 +161,29 @@ class Simulator:
             raise RuntimeError("no log recorded")
         return plot_log(self._log, **kwargs)
 
+    def render(self, path: Optional[str] = None):
+        """Render the current configuration (reference `Simulator.render`)."""
+        from jiminy_tpu.viewer import Viewer
+
+        if self.state is None:
+            raise RuntimeError("no simulation state — call `start` first")
+        viewer = Viewer(self.robot)
+        if path is not None:
+            return viewer.save_frame(self.state.q, path, ground_fn=self.engine.ground_fn)
+        return viewer.render(self.state.q, ground_fn=self.engine.ground_fn)
+
+    def replay(self, output_path: Optional[str] = None, fps: float = 25.0):
+        """Replay the last simulation (reference `Simulator.replay`)."""
+        from jiminy_tpu.telemetry import extract_trajectory_from_log
+        from jiminy_tpu.viewer import play_trajectories
+
+        if self._log is None:
+            raise RuntimeError("no log recorded")
+        traj = extract_trajectory_from_log(self._log)
+        return play_trajectories(
+            [traj], output_path=output_path, fps=fps, ground_fn=self.engine.ground_fn
+        )
+
 
 def _write_toml(path: str, d: dict, prefix: str = "") -> None:
     """Minimal TOML writer for nested dicts of scalars."""

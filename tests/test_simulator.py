@@ -118,3 +118,24 @@ def test_plot_and_viewer(tmp_path):
     v = Viewer(traj.robot)
     frame = v.save_frame(traj.qs[0], str(tmp_path / "frame.png"))
     assert os.path.exists(frame)
+
+
+def test_render_and_replay(tmp_path):
+    urdf, hw = _write_assets(tmp_path)
+    sim = Simulator.build(urdf)
+    sim.simulate(0.1, jnp.array([0.4]))
+    sim.start(jnp.array([0.4]))
+    frame = sim.render(str(tmp_path / "frame.png"))
+    assert os.path.exists(frame)
+    sim._log = sim._log or sim.stop()
+
+
+def test_spaces_utils():
+    import jax
+    from jiminy_tpu.gym import spaces
+
+    sp = {"q": spaces.Bounds(jnp.zeros(2), jnp.ones(2))}
+    val = spaces.clip(sp, {"q": jnp.asarray([3.0, -2.0])})
+    assert bool(spaces.contains(sp, val))
+    s = spaces.sample(sp, jax.random.PRNGKey(1))
+    assert bool(spaces.contains(sp, s))
