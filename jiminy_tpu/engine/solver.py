@@ -151,18 +151,10 @@ def constrained_forward_dynamics(
     dtype = q.dtype
     mass_matrix = dyn.crba(model, q)  # includes armature
     nle = dyn.nonlinear_effects(model, gravity, q, v, fext)
-    chol = jnp.linalg.cholesky(mass_matrix)
 
     def minv(x):
-        # Solve M y = x for (..., nv) or (..., nv, k)
-        vec = x.ndim == q.ndim
-        if vec:
-            x = x[..., None]
-        y = jax.scipy.linalg.solve_triangular(chol, x, lower=True)
-        y = jax.scipy.linalg.solve_triangular(
-            jnp.swapaxes(chol, -1, -2), y, lower=False
-        )
-        return y[..., 0] if vec else y
+        # Solve M y = x via component-unrolled LDL^T (TPU-fusable)
+        return _unrolled_ldl_solve(mass_matrix, x)
 
     # Mask inactive rows: zero Jacobian/drift → zero force
     mask = csys.active.astype(dtype)
@@ -183,3 +175,45 @@ def constrained_forward_dynamics(
     lam = pgs_solve(cset, A, b, lam_warm * mask, friction, torsion, iter_max)
     qdd = minv(jnp.einsum("...ij,...i->...j", jac, lam, precision=lie._HIGHEST)) + tau_res
     return ConstrainedDynamicsResult(qdd=qdd, lam=lam)
+
+
+def _unrolled_ldl_solve(m: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
+    """Solve the SPD system m @ x = rhs with a fully-unrolled LDLᵀ over scalar
+    components — the same component-wise trick as `ops.cdyn`: every entry is a
+    (batch,) array and the factorization becomes pure fusable elementwise math
+    (batched `jnp.linalg.cholesky` on small matrices is extremely slow on TPU).
+
+    m: (..., n, n) symmetric positive definite; rhs: (..., n) or (..., n, k).
+    """
+    n = m.shape[-1]
+    a = [[m[..., i, j] for j in range(n)] for i in range(n)]
+    l = [[None] * n for _ in range(n)]
+    d = [None] * n
+    dinv = [None] * n
+    for j in range(n):
+        dj = a[j][j]
+        for k in range(j):
+            dj = dj - l[j][k] * l[j][k] * d[k]
+        d[j] = dj
+        dinv[j] = 1.0 / dj
+        for i in range(j + 1, n):
+            s_ij = a[i][j]
+            for k in range(j):
+                s_ij = s_ij - l[i][k] * l[j][k] * d[k]
+            l[i][j] = s_ij * dinv[j]
+
+    vec = rhs.ndim == m.ndim - 1
+    cols = 1 if vec else rhs.shape[-1]
+    outs = []
+    for c in range(cols):
+        y = [rhs[..., i] if vec else rhs[..., i, c] for i in range(n)]
+        for i in range(n):
+            for k in range(i):
+                y[i] = y[i] - l[i][k] * y[k]
+        for i in range(n):
+            y[i] = y[i] * dinv[i]
+        for i in reversed(range(n)):
+            for k in range(i + 1, n):
+                y[i] = y[i] - l[k][i] * y[k]
+        outs.append(jnp.stack(y, axis=-1))
+    return outs[0] if vec else jnp.stack(outs, axis=-1)
