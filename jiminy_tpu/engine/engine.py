@@ -112,6 +112,7 @@ class Engine:
             _np.any(_np.asarray(robot.model.damping) != 0.0)
         )
         self._cdyn = None
+        self._cdyn_cm = None  # component CRBA/NLE for the constrained path
         fast_opt = self.options.use_fast_dynamics
         fast_enabled = fast_opt == "always" or (
             fast_opt is True and jax.default_backend() != "cpu"
@@ -133,6 +134,15 @@ class Engine:
                     ground_fn=self.ground_fn,
                     bound_gains=self._bound_gains,
                     pallas_tile=opts.pallas_tile,
+                )
+        if fast_enabled and self.has_constraints:
+            from jiminy_tpu.ops import cdyn as cdyn_mod
+
+            if cdyn_mod.supports_model(robot.model):
+                # Constrained path: component-wise CRBA/NLE (contacts and
+                # bounds flow through the PGS solver, not through cdyn)
+                self._cdyn_cm = cdyn_mod.ComponentDynamics(
+                    robot.model, tuple(float(g) for g in opts.world.gravity)
                 )
 
     def _build_penalty_bound_gains(self) -> dict:
@@ -359,6 +369,10 @@ class Engine:
             distance_ref=carry["distance_ref"],
             rolling_ref=carry.get("rolling_ref"),
         )
+        use_cdyn = (
+            self._cdyn_cm is not None
+            and (carry is None or carry.get("model") is None)
+        )
         res = constrained_forward_dynamics(
             model,
             self.gravity,
@@ -373,6 +387,7 @@ class Engine:
             self.options.contacts.torsion,
             self.options.stepper.pgs_regularization,
             self.options.stepper.pgs_iter_max,
+            cdyn_obj=self._cdyn_cm if use_cdyn else None,
         )
         return csys, res.qdd, res.lam
 

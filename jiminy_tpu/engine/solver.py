@@ -145,12 +145,26 @@ def constrained_forward_dynamics(
     torsion: float,
     regularization: float,
     iter_max: int,
+    cdyn_obj=None,
 ) -> ConstrainedDynamicsResult:
     """qdd = M⁻¹(Jᵀλ + τ - nle) with λ from PGS over A = J·M⁻¹·Jᵀ + reg
-    (reference `SolveBoxedForwardDynamics` + engine `computeAcceleration`)."""
+    (reference `SolveBoxedForwardDynamics` + engine `computeAcceleration`).
+
+    `cdyn_obj`: optional `ComponentDynamics` — M(q) and nle(q, v) are then
+    computed component-wise (TPU fast path; requires fext None)."""
     dtype = q.dtype
-    mass_matrix = dyn.crba(model, q)  # includes armature
-    nle = dyn.nonlinear_effects(model, gravity, q, v, fext)
+    if cdyn_obj is not None and fext is None:
+        qc = [q[..., i] for i in range(model.nq)]
+        vc = [v[..., i] for i in range(model.nv)]
+        mass_matrix = cdyn_obj.mass_matrix_components(qc)
+        batch = q.shape[:-1]
+        nle = jnp.stack(
+            [jnp.broadcast_to(x, batch) for x in cdyn_obj.nle_components(qc, vc)],
+            axis=-1,
+        )
+    else:
+        mass_matrix = dyn.crba(model, q)  # includes armature
+        nle = dyn.nonlinear_effects(model, gravity, q, v, fext)
 
     def minv(x):
         # Solve M y = x via component-unrolled LDL^T (TPU-fusable)
@@ -185,8 +199,12 @@ def _unrolled_ldl_solve(m: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
 
     m: (..., n, n) symmetric positive definite; rhs: (..., n) or (..., n, k).
     """
-    n = m.shape[-1]
-    a = [[m[..., i, j] for j in range(n)] for i in range(n)]
+    if isinstance(m, list):
+        a = [list(row) for row in m]
+        n = len(a)
+    else:
+        n = m.shape[-1]
+        a = [[m[..., i, j] for j in range(n)] for i in range(n)]
     l = [[None] * n for _ in range(n)]
     d = [None] * n
     dinv = [None] * n
@@ -202,7 +220,11 @@ def _unrolled_ldl_solve(m: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
                 s_ij = s_ij - l[i][k] * l[j][k] * d[k]
             l[i][j] = s_ij * dinv[j]
 
-    vec = rhs.ndim == m.ndim - 1
+    if isinstance(m, list):
+        # rhs (..., n) = vector; (..., n, k) = matrix — disambiguate by trailing dim
+        vec = rhs.shape[-1] == n and (rhs.ndim < 2 or rhs.shape[-2] != n)
+    else:
+        vec = rhs.ndim == m.ndim - 1
     cols = 1 if vec else rhs.shape[-1]
     outs = []
     for c in range(cols):

@@ -707,3 +707,175 @@ def _pallas_accel_fn(cd: "ComponentDynamics", tile: int = 1024):
         return out.transpose(0, 2, 3, 1).reshape(b, nv)
 
     return run
+
+
+# --------------------------------------------------------------------------- #
+# Component-wise CRBA + RNEA(nle): the constrained-dynamics fast path
+# --------------------------------------------------------------------------- #
+#
+# The PGS-constrained path needs M(q) and nle(q, v) (reference
+# `SolveBoxedForwardDynamics`); computing them with the generic spatial-algebra
+# ops leaves the TPU idle exactly like ABA did.  These methods return python
+# lists of (B,) components that feed the unrolled LDL^T solve directly.
+
+
+def _force_transform_col(rot, pos, n, f):
+    """Force (ang n, lin f) from child joint frame to parent."""
+    f_a = m_mv(rot, f)
+    n_a = v_add(m_mv(rot, n), v_cross(pos, f_a))
+    return n_a, f_a
+
+
+class _CRBAMixin:
+    def mass_matrix_components(self, qc):
+        """CRBA with armature: returns nv x nv python list of (B,) entries."""
+        c = self.c
+        nv = self.model.nv
+        xs = self._joint_x(qc)
+        ic = [
+            sym6_from_body(float(c.mass[i]), c.com[i].tolist(), c.inertia[i].tolist())
+            for i in range(c.nj)
+        ]
+        m_out = [[0.0] * nv for _ in range(nv)]
+
+        def vel_perm(k):  # free-joint vel index -> motion index
+            return (k + 3) % 6
+
+        for i in reversed(range(c.nj)):
+            vi = c.idx_v[i]
+            if c.types[i] == jt.JointType.FREE:
+                # F = IA (6x6); diagonal block = permuted IA + armature
+                for r in range(6):
+                    for col in range(6):
+                        m_out[vi + r][vi + col] = ic[i][vel_perm(r)][vel_perm(col)]
+                    m_out[vi + r][vi + r] = (
+                        m_out[vi + r][vi + r] + float(c.armature[vi + r])
+                    )
+                # Free root has no ancestors by construction
+                continue
+            ax_a, ax_l = (
+                (c.axis[i].tolist(), (0.0, 0.0, 0.0))
+                if c.types[i] == jt.JointType.REVOLUTE
+                else ((0.0, 0.0, 0.0), c.axis[i].tolist())
+            )
+            fa, fl = sym6_mv(ic[i], list(ax_a), list(ax_l))
+            # Diagonal entry: S^T F + armature
+            m_out[vi][vi] = (
+                sum(ax_a[k] * fa[k] for k in range(3))
+                + sum(ax_l[k] * fl[k] for k in range(3))
+                + float(c.armature[vi])
+            )
+            # Ancestors
+            j = i
+            n_c, f_c = fa, fl
+            while c.parents[j] >= 0:
+                rot_j, pos_j = xs[j]
+                n_c, f_c = _force_transform_col(rot_j, pos_j, n_c, f_c)
+                j = c.parents[j]
+                vj = c.idx_v[j]
+                if c.types[j] == jt.JointType.FREE:
+                    full = [*n_c, *f_c]
+                    for k in range(6):
+                        val = full[vel_perm(k)]
+                        m_out[vi][vj + k] = val
+                        m_out[vj + k][vi] = val
+                else:
+                    axj_a, axj_l = (
+                        (c.axis[j].tolist(), (0.0, 0.0, 0.0))
+                        if c.types[j] == jt.JointType.REVOLUTE
+                        else ((0.0, 0.0, 0.0), c.axis[j].tolist())
+                    )
+                    val = sum(axj_a[k] * n_c[k] for k in range(3)) + sum(
+                        axj_l[k] * f_c[k] for k in range(3)
+                    )
+                    m_out[vi][vj] = val
+                    m_out[vj][vi] = val
+            # Accumulate composite inertia into the parent
+            p = c.parents[i]
+            if p >= 0:
+                rot_i, pos_i = xs[i]
+                ia_p = _transform_sym6(ic[i], rot_i, pos_i)
+                for r in range(6):
+                    for col in range(6):
+                        ic[p][r][col] = ic[p][r][col] + ia_p[r][col]
+        return m_out
+
+    def nle_components(self, qc, vc):
+        """Nonlinear effects (gravity + Coriolis/centrifugal) as nv components
+        (RNEA with zero acceleration, reference `nonlinear_effects`)."""
+        c = self.c
+        g = self.gravity
+        xs = self._joint_x(qc)
+        vel = [None] * c.nj
+        acc = [None] * c.nj
+        f = [None] * c.nj
+        svec = [None] * c.nj
+        a0 = ([0.0, 0.0, 0.0], [-g[0], -g[1], -g[2]])
+        for i in range(c.nj):
+            rot_i, pos_i = xs[i]
+            p = c.parents[i]
+            w_p, v_p = vel[p] if p >= 0 else (v3(), v3())
+            a_p = acc[p] if p >= 0 else a0
+            w_in = m_tv(rot_i, w_p)
+            v_in = m_tv(rot_i, v_sub(v_p, v_cross(pos_i, w_p)))
+            aw_in = m_tv(rot_i, a_p[0])
+            al_in = m_tv(rot_i, v_sub(a_p[1], v_cross(pos_i, a_p[0])))
+            vi = c.idx_v[i]
+            if c.types[i] == jt.JointType.FREE:
+                vj_lin = [vc[vi], vc[vi + 1], vc[vi + 2]]
+                vj_ang = [vc[vi + 3], vc[vi + 4], vc[vi + 5]]
+            elif c.types[i] == jt.JointType.REVOLUTE:
+                ax = c.axis[i].tolist()
+                vj_ang, vj_lin = v_scale(ax, vc[vi]), v3()
+                svec[i] = (ax, (0.0, 0.0, 0.0))
+            else:
+                ax = c.axis[i].tolist()
+                vj_ang, vj_lin = v3(), v_scale(ax, vc[vi])
+                svec[i] = ((0.0, 0.0, 0.0), ax)
+            w_i = v_add(w_in, vj_ang)
+            v_i = v_add(v_in, vj_lin)
+            vel[i] = (w_i, v_i)
+            # a_i = Xinv(a_p) + v_i x vj  (zero joint acceleration)
+            b_ang = v_cross(w_i, vj_ang)
+            b_lin = v_add(v_cross(w_i, vj_lin), v_cross(v_i, vj_ang))
+            acc[i] = (v_add(aw_in, b_ang), v_add(al_in, b_lin))
+
+        nv = self.model.nv
+        tau = [0.0] * nv
+        for i in reversed(range(c.nj)):
+            ia = sym6_from_body(
+                float(c.mass[i]), c.com[i].tolist(), c.inertia[i].tolist()
+            )
+            a_a, a_l = acc[i]
+            w_i, v_i = vel[i]
+            ia_a, ia_l = sym6_mv(ia, a_a, a_l)
+            iv_a, iv_l = sym6_mv(ia, w_i, v_i)
+            f_a = v_add(ia_a, v_add(v_cross(w_i, iv_a), v_cross(v_i, iv_l)))
+            f_l = v_add(ia_l, v_cross(w_i, iv_l))
+            if f[i] is not None:
+                f_a = v_add(f_a, f[i][0])
+                f_l = v_add(f_l, f[i][1])
+            vi = c.idx_v[i]
+            if c.types[i] == jt.JointType.FREE:
+                full = [*f_a, *f_l]
+                for k in range(6):
+                    tau[vi + k] = full[(k + 3) % 6]
+            else:
+                ax_a, ax_l = svec[i]
+                tau[vi] = sum(ax_a[k] * f_a[k] for k in range(3)) + sum(
+                    ax_l[k] * f_l[k] for k in range(3)
+                )
+            p = c.parents[i]
+            if p >= 0:
+                rot_i, pos_i = xs[i]
+                n_p, f_p = _force_transform_col(rot_i, pos_i, f_a, f_l)
+                if f[p] is None:
+                    f[p] = (n_p, f_p)
+                else:
+                    f[p] = (v_add(f[p][0], n_p), v_add(f[p][1], f_p))
+        return tau
+
+
+# Attach the mixin methods to ComponentDynamics
+ComponentDynamics.mass_matrix_components = _CRBAMixin.mass_matrix_components
+ComponentDynamics.nle_components = _CRBAMixin.nle_components

@@ -142,3 +142,33 @@ def test_penalty_bounds_consistency():
     np.testing.assert_allclose(np.asarray(st_f.q), np.asarray(st_r.q), atol=1e-10)
     assert 0.35 < float(st_f.q[0]) < 0.55  # stopped near the soft bound
     assert abs(float(st_f.v[0])) < 0.05
+
+
+def test_constrained_path_component_crba_matches():
+    """Constraint-mode engine with component-wise CRBA/NLE (fast path forced)
+    matches the generic constrained path exactly."""
+    from jiminy_tpu.engine.config import ContactModel
+
+    robot = build_anymal()
+    base = dict(
+        contacts=ContactOptions(
+            model=ContactModel.CONSTRAINT, friction=1.0, transition_eps=1e-3
+        ),
+        stepper=StepperOptions(dt_max=1e-3),
+        joint_bounds_mode="constraint",
+    )
+    eng_fast = Engine(robot, EngineOptions(use_fast_dynamics="always", **base))
+    eng_ref = Engine(robot, EngineOptions(use_fast_dynamics=False, **base))
+    assert eng_fast._cdyn_cm is not None and eng_ref._cdyn_cm is None
+    q0 = jnp.asarray(anymal_standing_pose(robot.model))
+    st_f = eng_fast.reset(q0)
+    st_r = eng_ref.reset(q0)
+    step_f = jax.jit(eng_fast.step)
+    step_r = jax.jit(eng_ref.step)
+    for _ in range(10):
+        st_f = step_f(st_f)
+        st_r = step_r(st_r)
+    np.testing.assert_allclose(np.asarray(st_f.q), np.asarray(st_r.q), atol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(st_f.contact_forces), np.asarray(st_r.contact_forces), atol=1e-6
+    )
