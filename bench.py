@@ -29,10 +29,11 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", "8192"))
     n_steps = int(os.environ.get("BENCH_STEPS", "25"))
     pallas_tile = int(os.environ.get("BENCH_PALLAS", "1024"))
+    env_name = os.environ.get("BENCH_ENV", "anymal-pid")
 
     from jiminy_tpu.envs import make
 
-    env = make("anymal-pid")
+    env = make(env_name)
     if pallas_tile:
         # Rebuild the fused dynamics with the Pallas megakernel enabled; the
         # env layer is batch-transparent, so the whole pipeline steps on
@@ -77,7 +78,8 @@ def main():
 
     steps_per_sec = batch * n_steps / elapsed
     result = {
-        "metric": "env_steps_per_sec_per_chip_anymal_pd",
+        "metric": "env_steps_per_sec_per_chip_"
+        + env_name.replace("-", "_").replace("pid", "pd"),
         "value": round(steps_per_sec, 1),
         "unit": "env-steps/s",
         "vs_baseline": round(steps_per_sec / REFERENCE_STEPS_PER_SEC, 2),

@@ -54,16 +54,102 @@ def pgs_solve(
     friction: float,
     torsion: float,
     iter_max: int,
+    componentwise: bool = False,
 ) -> jnp.ndarray:
-    """Fixed-iteration PGS with boxed bounds and friction-cone projection."""
+    """Fixed-iteration PGS with boxed bounds and friction-cone projection.
+
+    `componentwise=True` unrolls A columns and the iterate into scalar (batch,)
+    components so every Gauss–Seidel update is fusable elementwise math — the
+    TPU fast path (the einsum form emits hundreds of tiny reductions per
+    sweep, but compiles much faster on CPU)."""
     off_b, off_c, off_d, off_r = cset.row_offsets()
+    dtype = b.dtype
+    n = cset.total_rows
+    if not componentwise:
+        return _pgs_solve_einsum(
+            cset, A, b, lam0, friction, torsion, iter_max, off_b, off_c, off_d, off_r
+        )
+    a_c = [[A[..., i, j] for j in range(n)] for i in range(n)]
+    b_c = [b[..., i] for i in range(n)]
+
+    def dot_col(xs, i):
+        out = a_c[0][i] * xs[0]
+        for j in range(1, n):
+            out = out + a_c[j][i] * xs[j]
+        return out
+
+    def sweep(xs, w):
+        # 1) Unbounded constraints: distance loops + rolling rows (plain GS)
+        for k in range(cset.n_distance):
+            i = off_d + k
+            y = b_c[i] - dot_col(xs, i)
+            xs[i] = xs[i] + y / a_c[i][i]
+        for k in range(3 * cset.n_rolling):
+            i = off_r + k
+            y = b_c[i] - dot_col(xs, i)
+            xs[i] = xs[i] + y / a_c[i][i]
+
+        # 2) Bounded constraints, breadth-first over block levels
+        for k in range(cset.n_bounds):
+            i = off_b + k
+            y = b_c[i] - dot_col(xs, i)
+            xs[i] = jnp.maximum(xs[i] + w * y / a_c[i][i], 0.0)
+        for k in range(cset.n_contacts):
+            i = off_c + 4 * k + 2
+            y = b_c[i] - dot_col(xs, i)
+            xs[i] = jnp.maximum(xs[i] + w * y / a_c[i][i], 0.0)
+        # level 1: torsional friction |λ_rz| <= torsion * λ_z
+        for k in range(cset.n_contacts):
+            i = off_c + 4 * k + 3
+            iz = off_c + 4 * k + 2
+            if torsion <= 0.0:
+                xs[i] = jnp.zeros_like(xs[i])
+                continue
+            y = b_c[i] - dot_col(xs, i)
+            xi = xs[i] + w * y / a_c[i][i]
+            thr = torsion * xs[iz]
+            xs[i] = jnp.clip(xi, -thr, thr)
+        # level 2: tangential friction cone ||λ_xy|| <= µ λ_z
+        for k in range(cset.n_contacts):
+            i0 = off_c + 4 * k
+            i1 = i0 + 1
+            iz = i0 + 2
+            if friction <= 0.0:
+                xs[i0] = jnp.zeros_like(xs[i0])
+                xs[i1] = jnp.zeros_like(xs[i1])
+                continue
+            y0 = b_c[i0] - dot_col(xs, i0)
+            y1 = b_c[i1] - dot_col(xs, i1)
+            a_max = jnp.maximum(a_c[i0][i0], a_c[i1][i1])
+            x0 = xs[i0] + w * y0 / a_max
+            x1 = xs[i1] + w * y1 / a_max
+            thr = friction * xs[iz]
+            norm2 = x0 * x0 + x1 * x1
+            scale = jnp.where(
+                norm2 > thr * thr, thr / jnp.sqrt(jnp.maximum(norm2, 1e-30)), 1.0
+            )
+            xs[i0] = x0 * scale
+            xs[i1] = x1 * scale
+        return xs
+
+    def body(it, x):
+        w = _relaxation(it, iter_max).astype(dtype)
+        xs = [x[..., i] for i in range(n)]
+        xs = sweep(xs, w)
+        return jnp.stack(xs, axis=-1)
+
+    return jax.lax.fori_loop(0, iter_max, body, lam0)
+
+
+def _pgs_solve_einsum(cset, A, b, lam0, friction, torsion, iter_max,
+                      off_b, off_c, off_d, off_r):
+    """Array-form PGS (CPU-friendly compile)."""
     dtype = b.dtype
 
     def dot_col(x, i):
         return jnp.einsum("...i,...i->...", A[..., :, i], x, precision=lie._HIGHEST)
 
     def sweep(x, w):
-        # 1) Unbounded constraints: distance loops + rolling rows (plain GS)
         for k in range(cset.n_distance):
             i = off_d + k
             y = b[..., i] - dot_col(x, i)
@@ -72,9 +158,6 @@ def pgs_solve(
             i = off_r + k
             y = b[..., i] - dot_col(x, i)
             x = x.at[..., i].add(y / A[..., i, i])
-
-        # 2) Bounded constraints, breadth-first over block levels
-        # level 0: joint bounds (λ >= 0) then contact normals (λ_z >= 0)
         for k in range(cset.n_bounds):
             i = off_b + k
             y = b[..., i] - dot_col(x, i)
@@ -85,7 +168,6 @@ def pgs_solve(
             y = b[..., i] - dot_col(x, i)
             xi = x[..., i] + w * y / A[..., i, i]
             x = x.at[..., i].set(jnp.maximum(xi, 0.0))
-        # level 1: torsional friction |λ_rz| <= torsion * λ_z
         for k in range(cset.n_contacts):
             i = off_c + 4 * k + 3
             iz = off_c + 4 * k + 2
@@ -96,7 +178,6 @@ def pgs_solve(
             xi = x[..., i] + w * y / A[..., i, i]
             thr = torsion * x[..., iz]
             x = x.at[..., i].set(jnp.clip(xi, -thr, thr))
-        # level 2: tangential friction cone ||λ_xy|| <= µ λ_z
         for k in range(cset.n_contacts):
             i0 = off_c + 4 * k
             i1 = i0 + 1
@@ -166,9 +247,24 @@ def constrained_forward_dynamics(
         mass_matrix = dyn.crba(model, q)  # includes armature
         nle = dyn.nonlinear_effects(model, gravity, q, v, fext)
 
-    def minv(x):
-        # Solve M y = x via component-unrolled LDL^T (TPU-fusable)
-        return _unrolled_ldl_solve(mass_matrix, x)
+    if cdyn_obj is not None and fext is None:
+
+        def minv(x):
+            # Component-unrolled LDL^T (TPU-fusable)
+            return _unrolled_ldl_solve(mass_matrix, x)
+
+    else:
+        chol = jnp.linalg.cholesky(mass_matrix)
+
+        def minv(x):
+            vec = x.ndim == q.ndim
+            if vec:
+                x = x[..., None]
+            y = jax.scipy.linalg.solve_triangular(chol, x, lower=True)
+            y = jax.scipy.linalg.solve_triangular(
+                jnp.swapaxes(chol, -1, -2), y, lower=False
+            )
+            return y[..., 0] if vec else y
 
     # Mask inactive rows: zero Jacobian/drift → zero force
     mask = csys.active.astype(dtype)
@@ -186,7 +282,10 @@ def constrained_forward_dynamics(
     b = -drift - lie.mv(jac, tau_res)
     b = b * mask
 
-    lam = pgs_solve(cset, A, b, lam_warm * mask, friction, torsion, iter_max)
+    lam = pgs_solve(
+        cset, A, b, lam_warm * mask, friction, torsion, iter_max,
+        componentwise=cdyn_obj is not None and fext is None,
+    )
     qdd = minv(jnp.einsum("...ij,...i->...j", jac, lam, precision=lie._HIGHEST)) + tau_res
     return ConstrainedDynamicsResult(qdd=qdd, lam=lam)
 

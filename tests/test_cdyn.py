@@ -172,3 +172,28 @@ def test_constrained_path_component_crba_matches():
     np.testing.assert_allclose(
         np.asarray(st_f.contact_forces), np.asarray(st_r.contact_forces), atol=1e-6
     )
+
+
+def test_pgs_componentwise_matches_einsum_all_row_types():
+    """The component-unrolled PGS sweep (constrained-path TPU fast path) is the
+    einsum-form solve reassociated: bitwise-level agreement at f64 across every
+    row family (bounds, contact cones, distance loops, rolling rows)."""
+    from jiminy_tpu.engine.constraints import ConstraintSet
+    from jiminy_tpu.engine.solver import pgs_solve
+
+    cset = ConstraintSet(
+        bound_joint_indices=(1, 2),
+        contact_frame_indices=(0, 1),
+        distance_pairs=((0, 1),),
+        sphere_specs=((0, 0.1),),
+    )
+    n = cset.total_rows
+    B = 7
+    m = RNG.normal(size=(B, n, n + 4))
+    A = jnp.asarray(m @ np.swapaxes(m, -1, -2) + np.eye(n) * 1e-3)
+    b = jnp.asarray(RNG.normal(size=(B, n)))
+    lam0 = jnp.asarray(RNG.normal(size=(B, n)) * 0.1)
+    for friction, torsion in [(1.0, 0.2), (0.0, 0.0)]:
+        ref = pgs_solve(cset, A, b, lam0, friction, torsion, 40, componentwise=False)
+        out = pgs_solve(cset, A, b, lam0, friction, torsion, 40, componentwise=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-10)
