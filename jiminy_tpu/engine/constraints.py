@@ -48,6 +48,8 @@ class ConstraintSet:
     bound_joint_indices: tuple = struct.field(pytree_node=False, default=())
     # Ground contacts: frame indices (must match robot.contact_frame_indices order)
     contact_frame_indices: tuple = struct.field(pytree_node=False, default=())
+    # Per-contact sphere radius, 0.0 = point (primitive collision bodies)
+    contact_radii: tuple = struct.field(pytree_node=False, default=())
     # Closed loops: ((frame_a, frame_b), ...)
     distance_pairs: tuple = struct.field(pytree_node=False, default=())
     distance_ref: jnp.ndarray = struct.field(default_factory=lambda: jnp.zeros(0))
@@ -129,6 +131,11 @@ def build_constraint_set(
     return ConstraintSet(
         bound_joint_indices=tuple(bounds),
         contact_frame_indices=robot.contact_frame_indices if include_contacts else (),
+        contact_radii=(
+            (robot.contact_radii or (0.0,) * len(robot.contact_frame_indices))
+            if include_contacts
+            else ()
+        ),
         distance_pairs=pairs,
         distance_ref=jnp.zeros(len(pairs), model.dtype),
         sphere_specs=tuple(spheres),
@@ -221,19 +228,29 @@ def compute_constraint_system(
 
     # ---------------- contact frames ----------------
     basis_list, cact_list, depth_list = [], [], []
+    radii = cset.contact_radii or (0.0,) * cset.n_contacts
     for k, fidx in enumerate(cset.contact_frame_indices):
+        radius = radii[k]
         fpl = frame_placement(model, kin_bias, fidx)
         pos = fpl.pos
         h, n = ground_fn(pos[..., :2])
         n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
         depth = (pos[..., 2] - h) * n[..., 2]
+        if radius > 0.0:
+            depth = depth - radius
         act = (depth < 0.0) | (prev_contact_active[..., k] & (depth <= opts.transition_eps))
         basis = _normal_basis(n)
 
         # Frame jacobian, world-aligned (ang, lin) -> basis coordinates
         jf = frame_jacobian_world_aligned(model, kin_bias, jac_world, fidx)
         bt = jnp.swapaxes(basis, -1, -2)
-        j_lin = lie.mm(bt, jf[..., 3:6, :])
+        j_lin_w = jf[..., 3:6, :]
+        if radius > 0.0:
+            # Sphere primitive: constrain the surface point at -r n̂
+            # (skewRadius = r·skew(n), reference `sphere_constraint.cc`)
+            sk = radius * lie.skew(n)
+            j_lin_w = j_lin_w + lie.mm(sk, jf[..., 0:3, :])
+        j_lin = lie.mm(bt, j_lin_w)
         j_ang = lie.mm(bt, jf[..., 0:3, :])
 
         # Classical world-aligned bias acceleration + velocity of the frame
@@ -246,6 +263,9 @@ def compute_constraint_system(
         v_lin_w = lie.mv(rot, v_local[..., 3:6])
         a_lin_w = lie.mv(rot, a_sp_local[..., 3:6]) + jnp.cross(v_ang_w, v_lin_w)
         a_ang_w = lie.mv(rot, a_sp_local[..., 0:3])
+        if radius > 0.0:
+            v_lin_w = v_lin_w + lie.mv(sk, v_ang_w)
+            a_lin_w = a_lin_w + lie.mv(sk, a_ang_w)
 
         # Baumgarte: reference transform sits on the ground surface below the
         # frame, so Δposition = depth·n and Δrotation = 0 (engine.cc:3182-3195)

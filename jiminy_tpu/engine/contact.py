@@ -52,8 +52,14 @@ def compute_contact_forces(
     ground_fn: Optional[Callable],
     kin: KinData,
     contact_frame_indices: tuple,
+    contact_radii: tuple = (),
 ):
     """Spring-damper ground forces at every contact frame.
+
+    `contact_radii` (static floats, 0.0 = point): sphere-primitive contacts —
+    the contact point sits at `-r n̂` from the frame center, the gap is reduced
+    by r, and the point velocity/lever include the offset (reference
+    primitive-vs-ground collision bodies, `engine.cc:3022-3114`).
 
     Returns:
       fext:   (..., nj, 6) per-joint LOCAL spatial wrenches (ang, lin)
@@ -76,8 +82,10 @@ def compute_contact_forces(
             jnp.zeros(batch + (0,), dtype),
         )
 
+    if not contact_radii:
+        contact_radii = (0.0,) * nc
     f_world_list, w_local_list, depth_list = [], [], []
-    for fidx in contact_frame_indices:
+    for fidx, radius in zip(contact_frame_indices, contact_radii):
         fpl = frame_placement(model, kin, fidx)
         pos = fpl.pos
         v_local = frame_velocity_local(model, kin, fidx)
@@ -86,11 +94,22 @@ def compute_contact_forces(
         n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
         # First-order gap projection (reference engine.cc:3140)
         depth = (pos[..., 2] - h) * n[..., 2]
+        if radius > 0.0:
+            # Sphere primitive: contact at the lowest surface point -r n̂
+            depth = depth - radius
+            d_off = -radius * n
+            w_world = lie.mv(fpl.rot, v_local[..., :3])
+            v_world = v_world + jnp.cross(w_world, d_off)
         f_w = spring_damper_force_world(opts, n, depth, v_world)
 
         # LOCAL contact-frame wrench (for ContactSensor)
-        f_local = lie.mv(jnp.swapaxes(fpl.rot, -1, -2), f_w)
-        w_local = jnp.concatenate([jnp.zeros_like(f_local), f_local], axis=-1)
+        rot_t = jnp.swapaxes(fpl.rot, -1, -2)
+        f_local = lie.mv(rot_t, f_w)
+        if radius > 0.0:
+            n_local = lie.mv(rot_t, jnp.cross(d_off, f_w))
+        else:
+            n_local = jnp.zeros_like(f_local)
+        w_local = jnp.concatenate([n_local, f_local], axis=-1)
 
         # Transport to the parent joint origin, LOCAL joint frame (reference
         # `convertForceGlobalFrameToJoint`)
@@ -98,6 +117,8 @@ def compute_contact_forces(
         rot_j = kin.omi.rot[..., parent, :, :]
         pos_j = kin.omi.pos[..., parent, :]
         lever = pos - pos_j
+        if radius > 0.0:
+            lever = lever + d_off
         tau_w = jnp.cross(lever, f_w)
         f_j = lie.mv(jnp.swapaxes(rot_j, -1, -2), f_w)
         n_j = lie.mv(jnp.swapaxes(rot_j, -1, -2), tau_w)

@@ -60,10 +60,29 @@ class Engine:
         if self.control_period <= 0:
             raise ValueError("controller_update_period must be > 0")
         ratio = self.control_period / self.sensor_period
-        self.n_sensor_periods = max(int(round(ratio)), 1)
-        if abs(ratio - self.n_sensor_periods) > 1e-9:
-            raise ValueError("controller period must be a multiple of sensor period")
-        self.n_substeps = max(int(math.ceil(self.sensor_period / opts.stepper.dt_max - 1e-12)), 1)
+        if ratio >= 1.0 - 1e-9:
+            # Sensors at least as fast as the controller: integrate per sensor
+            # period, update sensors every tick.
+            self.n_sensor_periods = max(int(round(ratio)), 1)
+            if abs(ratio - self.n_sensor_periods) > 1e-9:
+                raise ValueError(
+                    "controller period must be a multiple of the sensor period"
+                )
+            self.n_ctrl_per_sensor = 1
+            self.tick_period = self.sensor_period
+        else:
+            # Controller faster than sensors: integrate per controller period,
+            # commit sensor measurements every `n_ctrl_per_sensor` ticks
+            # (masked update — reference `engine.cc:2386-2410` period grid).
+            inv = self.sensor_period / self.control_period
+            self.n_ctrl_per_sensor = int(round(inv))
+            if abs(inv - self.n_ctrl_per_sensor) > 1e-9:
+                raise ValueError(
+                    "sensor period must be a multiple of the controller period"
+                )
+            self.n_sensor_periods = 1
+            self.tick_period = self.control_period
+        self.n_substeps = max(int(math.ceil(self.tick_period / opts.stepper.dt_max - 1e-12)), 1)
         self.ground_fn = opts.world.ground_profile
         # Optional user forces: f(t, q, v) -> (..., nj, 6) LOCAL joint wrenches
         self.external_force_fn: Optional[Callable] = None
@@ -131,6 +150,7 @@ class Engine:
                     tuple(float(g) for g in opts.world.gravity),
                     contact_opts=opts.contacts,
                     contact_frames=robot.contact_frame_indices,
+                    contact_radii=robot.contact_radii,
                     ground_fn=self.ground_fn,
                     bound_gains=self._bound_gains,
                     pallas_tile=opts.pallas_tile,
@@ -272,7 +292,7 @@ class Engine:
         if not self.constraint_mode:
             fext, f_world, w_local, depth = contact_mod.compute_contact_forces(
                 model, self.options.contacts, self.ground_fn, kin,
-                robot.contact_frame_indices,
+                robot.contact_frame_indices, robot.contact_radii,
             )
             if fext_user is not None:
                 fext = fext + fext_user
@@ -491,6 +511,7 @@ class Engine:
             sensor_rings=self.robot.sensors.init_rings(self.sensor_period, self.dtype),
             measurements={},
             key=key,
+            tick=jnp.asarray(0, jnp.int32),
             contact_active=aux.get("contact_active", carry0["contact_active"]),
             bound_active=aux.get("bound_active", carry0["bound_active"]),
             lam=aux.get("lam", carry0["lam"]),
@@ -554,12 +575,13 @@ class Engine:
     # Integration over one sensor period
     # ------------------------------------------------------------------ #
     def _integrate_period(self, state: SimState, command) -> tuple:
-        """Advance (q, v) by one sensor period; returns (state', a, aux)."""
+        """Advance (q, v) by one engine tick (min of sensor and controller
+        periods); returns (state', a, aux)."""
         opts = self.options.stepper
         model = self.robot.model
         carry = self._carry_of(state)
         f = self._accel_fn(command, carry)
-        period = jnp.asarray(self.sensor_period, self.dtype)
+        period = jnp.asarray(self.tick_period, self.dtype)
 
         if opts.integrator == IntegratorType.EULER_EXPLICIT:
             dt = period / self.n_substeps
@@ -672,16 +694,39 @@ class Engine:
 
         def sensor_substep(st, _):
             st2, a, aux, stepper = self._integrate_period(st, command)
+            tick = st.tick + 1 if st.tick is not None else None
             st2 = st2.replace(
-                t=st.t + jnp.asarray(self.sensor_period, self.dtype),
+                t=st.t + jnp.asarray(self.tick_period, self.dtype),
                 stepper=stepper,
                 u_motor=aux["u_motor"],
                 contact_forces=aux["contact_f_world"],
                 contact_active=aux.get("contact_active", st.contact_active),
                 bound_active=aux.get("bound_active", st.bound_active),
                 lam=aux.get("lam", st.lam),
+                tick=tick,
             )
-            st2 = self._update_sensors(st2, a, aux)
+            if self.n_ctrl_per_sensor > 1:
+                # Sensors slower than the controller: compute the refresh every
+                # tick but commit rings/measurements/key only on the sensor
+                # period grid (masked lock-step — all envs share the phase).
+                commit = (tick % self.n_ctrl_per_sensor) == 0
+                st3 = self._update_sensors(st2, a, aux)
+
+                def sel(new, old):
+                    d = commit.reshape(
+                        commit.shape + (1,) * (new.ndim - commit.ndim)
+                    )
+                    return jnp.where(d, new, old)
+
+                st2 = st2.replace(
+                    sensor_rings=jax.tree.map(sel, st3.sensor_rings, st2.sensor_rings),
+                    measurements=jax.tree.map(
+                        sel, st3.measurements, st2.measurements
+                    ),
+                    key=sel(st3.key, st2.key),
+                )
+            else:
+                st2 = self._update_sensors(st2, a, aux)
             return st2.replace(a=a), None
 
         state = state.replace(command=command)

@@ -51,6 +51,10 @@ class Robot:
     motors: Optional[MotorBank] = None
     sensors: SensorSuite = struct.field(default_factory=SensorSuite)
     contact_frame_indices: tuple = struct.field(pytree_node=False, default=())
+    # Per-contact-point sphere radius (0.0 = plain point): primitive collision
+    # bodies expand into contact points with radii (reference COLLISION_BODIES
+    # registry + hpp-fcl primitive-vs-ground, `model.h:40-129`, `engine.cc:3022`)
+    contact_radii: tuple = struct.field(pytree_node=False, default=())
     flexibility: Optional[FlexibilityConfig] = None
     # Closed kinematic loops: ((frame_a, frame_b), ...) distance constraints
     # (reference `DistanceConstraint`, e.g. Cassie pushrods)
@@ -89,6 +93,7 @@ class Robot:
         motors: Sequence[dict] = (),
         sensors: Optional[dict] = None,
         contact_frames: Sequence[str] = (),
+        collision_bodies: Sequence[dict] = (),
         flexibility: Sequence[dict] = (),
         loop_constraints: Sequence[tuple] = (),
         rolling_constraints: Sequence[dict] = (),
@@ -101,6 +106,13 @@ class Robot:
         - sensors: {"imu": [...], "encoder": [...], "effort": [...],
           "contact": [...], "force": [...]} — spec dicts per type.
         - contact_frames: frame names treated as ground contact points.
+        - collision_bodies: primitive ground-collision geometries, each
+          ``{"frame_name", "geometry": "sphere"|"capsule"|"box", ...}`` with
+          ``radius`` (sphere/capsule), ``length``+``axis`` (capsule) or
+          ``size`` (3,) (box). Expanded at build time into derived contact
+          points: sphere -> 1 radius-r point, capsule -> 2 endpoint spheres,
+          box -> 8 corner points (reference collision-body registry checked
+          against the ground via hpp-fcl, `model.h:40-129`).
         - flexibility: [{frame_name/joint_name, stiffness(3), damping(3), inertia(3)}]
           inserted as spherical joints (extended model).
         """
@@ -129,6 +141,13 @@ class Robot:
             model = model.replace(armature=jnp.asarray(arm, dtype=dtype))
 
         contact_idx = tuple(model.frame_index(fn) for fn in contact_frames)
+        radii = [0.0] * len(contact_idx)
+        if collision_bodies:
+            model, extra_idx, extra_radii = _expand_collision_bodies(
+                model, collision_bodies
+            )
+            contact_idx = contact_idx + extra_idx
+            radii += extra_radii
         suite = _build_sensor_suite(model, bank, sensors or {}, contact_idx, dtype)
         return Robot(
             name=name,
@@ -137,6 +156,7 @@ class Robot:
             motors=bank,
             sensors=suite,
             contact_frame_indices=contact_idx,
+            contact_radii=tuple(radii),
             flexibility=flex_cfg,
             loop_pairs=tuple(tuple(p) for p in loop_constraints),
             backlash_joint_indices=backlash_idx,
@@ -149,6 +169,62 @@ class Robot:
                 for r in rolling_constraints
             ),
         )
+
+
+# --------------------------------------------------------------------------- #
+# Collision-body expansion
+# --------------------------------------------------------------------------- #
+
+
+def _expand_collision_bodies(model: RobotModel, specs) -> tuple:
+    """Expand primitive collision bodies into derived contact points.
+
+    Returns (model_with_extra_frames, frame_indices, radii). Sphere -> one
+    point of radius r at the geometry center; capsule -> one radius-r point at
+    each segment endpoint; box -> its 8 corners as radius-0 points. This is the
+    static-shape equivalent of the reference's hpp-fcl primitive-vs-ground
+    narrow phase (`engine.cc:3022-3114`): candidate points are fixed at build
+    time and activity is a runtime mask.
+    """
+    idx: list = []
+    radii: list = []
+    for spec in specs:
+        fname = spec["frame_name"]
+        fidx = model.frame_index(fname)
+        parent = model.frame_parents[fidx]
+        rot0 = np.asarray(model.fplacement_rot[fidx])
+        pos0 = np.asarray(model.fplacement_pos[fidx])
+        geom = spec["geometry"]
+        if geom == "sphere":
+            offsets = [np.zeros(3)]
+            r = float(spec["radius"])
+        elif geom == "capsule":
+            axis = np.asarray(spec.get("axis", (0.0, 0.0, 1.0)), float)
+            axis = axis / max(np.linalg.norm(axis), 1e-12)
+            half = 0.5 * float(spec["length"])
+            offsets = [axis * half, -axis * half]
+            r = float(spec["radius"])
+        elif geom == "box":
+            sx, sy, sz = (0.5 * float(s) for s in spec["size"])
+            offsets = [
+                np.array([ex * sx, ey * sy, ez * sz])
+                for ex in (-1.0, 1.0)
+                for ey in (-1.0, 1.0)
+                for ez in (-1.0, 1.0)
+            ]
+            r = 0.0
+        else:
+            raise ValueError(f"unsupported collision geometry '{geom}'")
+        for k, off in enumerate(offsets):
+            pname = f"{fname}_collision_{k}" if len(offsets) > 1 else f"{fname}_collision"
+            place = lie.SE3(
+                rot=jnp.asarray(rot0, model.dtype),
+                pos=jnp.asarray(pos0 + rot0 @ off, model.dtype),
+            )
+            model = model.add_frame(pname, parent, place)
+            idx.append(model.nframes - 1)
+            radii.append(r)
+    return model, tuple(idx), radii
 
 
 # --------------------------------------------------------------------------- #

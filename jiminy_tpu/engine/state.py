@@ -39,6 +39,10 @@ class SimState:
     sensor_rings: Dict[str, Any]
     measurements: Dict[str, jnp.ndarray]  # sensor group -> (n, ndata)
     key: jnp.ndarray  # PRNG key for sensor noise / randomization
+    # Controller-period counter — phase reference for sensor updates when the
+    # sensor period is a multiple of the controller period (the reference
+    # supports arbitrary GCD-compatible periods, `engine.cc:1892-1940`)
+    tick: jnp.ndarray = None  # () int32
     # Constraint-mode carry (zero-size arrays in spring-damper mode):
     contact_active: jnp.ndarray = None  # (nc,) bool hysteresis state
     bound_active: jnp.ndarray = None  # (nb,) bool

@@ -242,6 +242,7 @@ class ComponentDynamics:
         gravity,
         contact_opts=None,
         contact_frames: tuple = (),
+        contact_radii: tuple = (),
         ground_fn: Optional[Callable] = None,
         bound_gains: Optional[dict] = None,
         pallas_tile: int = 0,
@@ -253,6 +254,7 @@ class ComponentDynamics:
         self.gravity = tuple(float(g) for g in np.asarray(gravity))
         self.contact_opts = contact_opts
         self.contact_frames = tuple(contact_frames)
+        self.contact_radii = tuple(contact_radii) or (0.0,) * len(self.contact_frames)
         self.ground_fn = ground_fn
         # Optional stable penalty bounds: {vidx: (lo, hi, kp, kd)}
         self.bound_gains = bound_gains or {}
@@ -307,7 +309,7 @@ class ComponentDynamics:
         opts = self.contact_opts
         fext = [None] * c.nj
         f_world_all = []
-        for fidx in self.contact_frames:
+        for fidx, radius in zip(self.contact_frames, self.contact_radii):
             parent = c.frame_parents[fidx]
             fp = c.fpos[fidx].tolist()
             rw, pw = world[parent]
@@ -317,6 +319,7 @@ class ComponentDynamics:
             w_l, v_l = vel[parent]
             v_pt = v_add(v_l, v_cross(w_l, fp))
             v_w = m_mv(rw, v_pt)
+            d_off = None
             if self.ground_fn is None:
                 h = 0.0
                 n = [0.0, 0.0, 1.0]
@@ -331,6 +334,13 @@ class ComponentDynamics:
                 nn = jnp.sqrt(jnp.maximum(v_dot(n, n), 1e-24))
                 n = v_scale(n, 1.0 / nn)
                 depth = (pc[2] - h) * n[2]
+                v_depth = v_dot(v_w, n)
+            if radius > 0.0:
+                # Sphere primitive: surface point at -r n̂ from the center
+                depth = depth - radius
+                d_off = v_scale(n, -radius)
+                w_w = m_mv(rw, w_l)
+                v_w = v_add(v_w, v_cross(w_w, d_off))
                 v_depth = v_dot(v_w, n)
             f_normal = -jnp.minimum(opts.stiffness * depth + opts.damping * v_depth, 0.0)
             fw = v_scale(n, f_normal)
@@ -348,6 +358,8 @@ class ComponentDynamics:
             f_world_all.append(fw)
             # Transport to parent joint origin, LOCAL frame
             lever = v_sub(pc, pw)
+            if d_off is not None:
+                lever = v_add(lever, d_off)
             tau_w = v_cross(lever, fw)
             f_j = m_tv(rw, fw)
             n_j = m_tv(rw, tau_w)

@@ -331,3 +331,53 @@ def test_options_roundtrip():
     opts2 = EngineOptions.from_dict(d)
     assert opts2.stepper.integrator == IntegratorType.RUNGE_KUTTA_DOPRI
     assert opts2.contacts.stiffness == opts.contacts.stiffness
+
+
+def test_controller_faster_than_sensors():
+    """Sensor period = 2x the controller period: measurements refresh on the
+    sensor grid only, while the physics advances per controller period and the
+    trajectory matches an engine with sensors on every tick (reference supports
+    arbitrary GCD-compatible periods, `engine.cc:1892-1940`)."""
+    model = pendulum_robot().model
+    robot = Robot.build(
+        model,
+        motors=[{"joint_name": "pivot"}],
+        sensors={"encoder": [{"motor_name": "pivot"}]},
+    )
+    base = dict(stepper=StepperOptions(dt_max=1e-3))
+    eng_slow = Engine(
+        robot,
+        EngineOptions(
+            controller_update_period=1e-3, sensor_update_period=2e-3, **base
+        ),
+    )
+    eng_fast = Engine(
+        robot,
+        EngineOptions(
+            controller_update_period=1e-3, sensor_update_period=1e-3, **base
+        ),
+    )
+    assert eng_slow.n_ctrl_per_sensor == 2 and eng_slow.n_sensor_periods == 1
+    st_s = eng_slow.reset(jnp.array([0.5]))
+    st_f = eng_fast.reset(jnp.array([0.5]))
+    step_s = jax.jit(eng_slow.step)
+    step_f = jax.jit(eng_fast.step)
+    meas_s, meas_f, qs = [], [], []
+    for _ in range(8):
+        st_s = step_s(st_s)
+        st_f = step_f(st_f)
+        meas_s.append(float(st_s.measurements["encoder"][0, 0]))
+        meas_f.append(float(st_f.measurements["encoder"][0, 0]))
+        qs.append(float(st_s.q[0]))
+        # Physics identical regardless of the sensor grid
+        np.testing.assert_allclose(
+            np.asarray(st_s.q), np.asarray(st_f.q), atol=1e-12
+        )
+    # Odd ticks hold the previous measurement; even ticks match the fast grid
+    for k in range(8):
+        if (k + 1) % 2 == 0:
+            assert abs(meas_s[k] - meas_f[k]) < 1e-12
+            assert abs(meas_s[k] - qs[k]) < 1e-12
+        else:
+            expect = meas_s[k - 1] if k > 0 else 0.5  # reset-primed value
+            assert abs(meas_s[k] - expect) < 1e-12
