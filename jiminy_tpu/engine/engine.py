@@ -140,7 +140,6 @@ class Engine:
             fast_enabled
             and not self.constraint_mode
             and not self.has_constraints
-            and (robot.flexibility is None or not robot.flexibility.joint_indices)
         ):
             from jiminy_tpu.ops import cdyn as cdyn_mod
 
@@ -280,14 +279,16 @@ class Engine:
             fext_user = fext_extra if fext_user is None else fext_user + fext_extra
 
         u = internal_mod.flexibility_torque(robot, q, v)
-        if self._has_joint_damping:
-            u = u - model.damping * v
 
         if robot.motors is not None and robot.motors.nmotors:
             u_motor, u_full = robot.motors.compute_efforts(command, v)
             u = u + u_full
         else:
             u_motor = jnp.zeros(batch + (0,), q.dtype)
+        # cdyn applies -damping*v internally; add it here for the other paths
+        u_cdyn = u
+        if self._has_joint_damping:
+            u = u - model.damping * v
 
         if not self.constraint_mode:
             fext, f_world, w_local, depth = contact_mod.compute_contact_forces(
@@ -301,10 +302,10 @@ class Engine:
                 and fext_user is None
                 and (carry is None or carry.get("model") is None)
             ):
-                # Fused path: contacts + penalty bounds evaluated inside cdyn
-                # (identical values; the generic contact pass above only feeds
-                # the sensor/telemetry aux outputs).
-                a = self._cdyn.accel(q, v, u)
+                # Fused path: contacts + penalty bounds + joint damping
+                # evaluated inside cdyn (identical values; the generic contact
+                # pass above only feeds the sensor/telemetry aux outputs).
+                a = self._cdyn.accel(q, v, u_cdyn)
                 aux_c = {}
             elif self.has_constraints:  # joint bounds + loop closures via PGS
                 csys, a, lam = self._constrained_accel(t, q, v, u, fext, kin, carry)
@@ -416,11 +417,17 @@ class Engine:
         if self._cdyn is not None and self.external_force_fn is None and not has_override:
             robot = self.robot
 
+            has_flex = (
+                robot.flexibility is not None and robot.flexibility.joint_indices
+            )
+
             def f(t, q, v):
                 if robot.motors is not None and robot.motors.nmotors:
                     _, u = robot.motors.compute_efforts(command, v)
                 else:
                     u = jnp.zeros(q.shape[:-1] + (robot.nv,), q.dtype)
+                if has_flex:
+                    u = u + internal_mod.flexibility_torque(robot, q, v)
                 return self._cdyn.accel(q, v, u)
 
             return f

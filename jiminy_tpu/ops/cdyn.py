@@ -152,6 +152,34 @@ def sym6_mv(m6, ang, lin):
     return out[:3], out[3:]
 
 
+def solve_sym3(m3, rhs):
+    """Solve symmetric positive definite 3x3 via unrolled LDL^T."""
+    n = 3
+    l = [[0.0] * n for _ in range(n)]
+    d = [0.0] * n
+    for j in range(n):
+        dj = m3[j][j]
+        for k in range(j):
+            dj = dj - l[j][k] * l[j][k] * d[k]
+        d[j] = dj
+        inv_dj = 1.0 / dj
+        for i in range(j + 1, n):
+            s = m3[i][j]
+            for k in range(j):
+                s = s - l[i][k] * l[j][k] * d[k]
+            l[i][j] = s * inv_dj
+    y = list(rhs)
+    for i in range(n):
+        for k in range(i):
+            y[i] = y[i] - l[i][k] * y[k]
+    for i in range(n):
+        y[i] = y[i] / d[i]
+    for i in reversed(range(n)):
+        for k in range(i + 1, n):
+            y[i] = y[i] - l[k][i] * y[k]
+    return y
+
+
 def solve_sym6(m6, rhs):
     """Solve symmetric positive definite 6x6 via unrolled Cholesky (LDL^T)."""
     # LDL^T decomposition on python 6x6 of (B,) arrays
@@ -194,7 +222,11 @@ def supports_model(model: RobotModel) -> bool:
         t = jt.JointType(t)
         if i == 0 and t == jt.JointType.FREE:
             continue
-        if t not in (jt.JointType.REVOLUTE, jt.JointType.PRISMATIC):
+        if t not in (
+            jt.JointType.REVOLUTE,
+            jt.JointType.PRISMATIC,
+            jt.JointType.SPHERICAL,
+        ):
             return False
     return True
 
@@ -277,6 +309,11 @@ class ComponentDynamics:
                 pos_j = [qc[qi], qc[qi + 1], qc[qi + 2]]
                 rot = m_mm(tree_r, rot_j)
                 pos = v_add(m_mv(tree_r, pos_j), tree_p)
+            elif c.types[i] == jt.JointType.SPHERICAL:
+                qi = c.idx_q[i]
+                rot_j = quat_to_m(qc[qi], qc[qi + 1], qc[qi + 2], qc[qi + 3])
+                rot = m_mm(tree_r, rot_j)
+                pos = tree_p
             elif c.types[i] == jt.JointType.REVOLUTE:
                 rot_j = rodrigues(c.axis[i].tolist(), qc[c.idx_q[i]])
                 rot = m_mm(tree_r, rot_j)
@@ -437,6 +474,10 @@ class ComponentDynamics:
                 vi = c.idx_v[i]
                 vj_lin = [vc[vi], vc[vi + 1], vc[vi + 2]]
                 vj_ang = [vc[vi + 3], vc[vi + 4], vc[vi + 5]]
+            elif c.types[i] == jt.JointType.SPHERICAL:
+                vi = c.idx_v[i]
+                vj_ang = [vc[vi], vc[vi + 1], vc[vi + 2]]
+                vj_lin = v3()
             else:
                 ax = c.axis[i].tolist()
                 qd = vc[c.idx_v[i]]
@@ -507,15 +548,56 @@ class ComponentDynamics:
             if c.types[i] == jt.JointType.FREE:
                 ia_root = ia[i]
                 continue
+            vi = c.idx_v[i]
+            pa_a, pa_l = pa[i]
+            pa6 = [*pa_a, *pa_l]
+            if c.types[i] == jt.JointType.SPHERICAL:
+                # 3-dof angular subspace: U = IA[:, 0:3], D = IA[0:3,0:3]+arm
+                u63 = [[ia[i][r][col] for col in range(3)] for r in range(6)]
+                dmat = [[ia[i][r][col] for col in range(3)] for r in range(3)]
+                for k in range(3):
+                    dmat[k][k] = dmat[k][k] + float(c.armature[vi + k])
+                u_r3 = [
+                    tc[vi + k] + tau_extra.get(vi + k, 0.0) - pa_a[k]
+                    for k in range(3)
+                ]
+                u_of[i], d_inv[i], u_rhs[i] = u63, dmat, u_r3
+                if p >= 0:
+                    # Ia = IA - U D^-1 U^T (X[:,c] = D^-1 U[c,:] per column)
+                    xcols = [solve_sym3(dmat, list(u63[c6])) for c6 in range(6)]
+                    ia_a = [
+                        [
+                            ia[i][r][c6]
+                            - sum(u63[r][k] * xcols[c6][k] for k in range(3))
+                            for c6 in range(6)
+                        ]
+                        for r in range(6)
+                    ]
+                    b_a, b_l = bias[i]
+                    iab_a, iab_l = sym6_mv(ia_a, b_a, b_l)
+                    coef3 = solve_sym3(dmat, u_r3)
+                    pa_n = [
+                        pa6[k6]
+                        + [*iab_a, *iab_l][k6]
+                        + sum(u63[k6][k] * coef3[k] for k in range(3))
+                        for k6 in range(6)
+                    ]
+                    ia_p = _transform_sym6(ia_a, rot_i, pos_i)
+                    for r in range(6):
+                        for col in range(6):
+                            ia[p][r][col] = ia[p][r][col] + ia_p[r][col]
+                    n_b, f_b = pa_n[:3], pa_n[3:]
+                    f_a = m_mv(rot_i, f_b)
+                    n_a = v_add(m_mv(rot_i, n_b), v_cross(pos_i, f_a))
+                    pp_a, pp_l = pa[p]
+                    pa[p] = (v_add(pp_a, n_a), v_add(pp_l, f_a))
+                continue
             ax_a, ax_l = svec[i]
             s6 = [*ax_a, *ax_l]
             ua, ul = sym6_mv(ia[i], list(ax_a), list(ax_l))
             u6 = [*ua, *ul]
-            vi = c.idx_v[i]
             d = sum(s6[k] * u6[k] for k in range(6)) + float(c.armature[vi])
             dinv = 1.0 / d
-            pa_a, pa_l = pa[i]
-            pa6 = [*pa_a, *pa_l]
             u_r = tc[vi] + tau_extra.get(vi, 0.0) - sum(
                 s6[k] * pa6[k] for k in range(6)
             )
@@ -597,6 +679,18 @@ class ComponentDynamics:
                 aj_ang = qdd6[3:6]
                 aj_lin = qdd6[0:3]
                 acc[i] = (v_add(am_a, aj_ang), v_add(am_l, aj_lin))
+            elif c.types[i] == jt.JointType.SPHERICAL:
+                vi = c.idx_v[i]
+                u63 = u_of[i]
+                am6 = [*am_a, *am_l]
+                rhs3 = [
+                    u_rhs[i][k] - sum(u63[k6][k] * am6[k6] for k6 in range(6))
+                    for k in range(3)
+                ]
+                qdd3 = solve_sym3(d_inv[i], rhs3)
+                for k in range(3):
+                    qdd_parts[vi + k] = qdd3[k]
+                acc[i] = (v_add(am_a, qdd3), list(am_l))
             else:
                 vi = c.idx_v[i]
                 u6 = u_of[i]
@@ -753,6 +847,36 @@ class _CRBAMixin:
         def vel_perm(k):  # free-joint vel index -> motion index
             return (k + 3) % 6
 
+        def _ancestor_fill(i, vi_row, n_c, f_c):
+            """Transport one force column up the tree, filling M[vi_row, :]."""
+            j = i
+            while c.parents[j] >= 0:
+                rot_j, pos_j = xs[j]
+                n_c, f_c = _force_transform_col(rot_j, pos_j, n_c, f_c)
+                j = c.parents[j]
+                vj = c.idx_v[j]
+                if c.types[j] == jt.JointType.FREE:
+                    full = [*n_c, *f_c]
+                    for k in range(6):
+                        val = full[vel_perm(k)]
+                        m_out[vi_row][vj + k] = val
+                        m_out[vj + k][vi_row] = val
+                elif c.types[j] == jt.JointType.SPHERICAL:
+                    for k in range(3):
+                        m_out[vi_row][vj + k] = n_c[k]
+                        m_out[vj + k][vi_row] = n_c[k]
+                else:
+                    axj_a, axj_l = (
+                        (c.axis[j].tolist(), (0.0, 0.0, 0.0))
+                        if c.types[j] == jt.JointType.REVOLUTE
+                        else ((0.0, 0.0, 0.0), c.axis[j].tolist())
+                    )
+                    val = sum(axj_a[k] * n_c[k] for k in range(3)) + sum(
+                        axj_l[k] * f_c[k] for k in range(3)
+                    )
+                    m_out[vi_row][vj] = val
+                    m_out[vj][vi_row] = val
+
         for i in reversed(range(c.nj)):
             vi = c.idx_v[i]
             if c.types[i] == jt.JointType.FREE:
@@ -765,43 +889,32 @@ class _CRBAMixin:
                     )
                 # Free root has no ancestors by construction
                 continue
-            ax_a, ax_l = (
-                (c.axis[i].tolist(), (0.0, 0.0, 0.0))
-                if c.types[i] == jt.JointType.REVOLUTE
-                else ((0.0, 0.0, 0.0), c.axis[i].tolist())
-            )
-            fa, fl = sym6_mv(ic[i], list(ax_a), list(ax_l))
-            # Diagonal entry: S^T F + armature
-            m_out[vi][vi] = (
-                sum(ax_a[k] * fa[k] for k in range(3))
-                + sum(ax_l[k] * fl[k] for k in range(3))
-                + float(c.armature[vi])
-            )
-            # Ancestors
-            j = i
-            n_c, f_c = fa, fl
-            while c.parents[j] >= 0:
-                rot_j, pos_j = xs[j]
-                n_c, f_c = _force_transform_col(rot_j, pos_j, n_c, f_c)
-                j = c.parents[j]
-                vj = c.idx_v[j]
-                if c.types[j] == jt.JointType.FREE:
-                    full = [*n_c, *f_c]
-                    for k in range(6):
-                        val = full[vel_perm(k)]
-                        m_out[vi][vj + k] = val
-                        m_out[vj + k][vi] = val
-                else:
-                    axj_a, axj_l = (
-                        (c.axis[j].tolist(), (0.0, 0.0, 0.0))
-                        if c.types[j] == jt.JointType.REVOLUTE
-                        else ((0.0, 0.0, 0.0), c.axis[j].tolist())
+            if c.types[i] == jt.JointType.SPHERICAL:
+                # F = IA S = IA[:, 0:3]; diagonal block = IA[0:3,0:3] + arm
+                for r in range(3):
+                    for col in range(3):
+                        m_out[vi + r][vi + col] = ic[i][r][col]
+                    m_out[vi + r][vi + r] = (
+                        m_out[vi + r][vi + r] + float(c.armature[vi + r])
                     )
-                    val = sum(axj_a[k] * n_c[k] for k in range(3)) + sum(
-                        axj_l[k] * f_c[k] for k in range(3)
-                    )
-                    m_out[vi][vj] = val
-                    m_out[vj][vi] = val
+                for col in range(3):
+                    n_c = [ic[i][r][col] for r in range(3)]
+                    f_c = [ic[i][3 + r][col] for r in range(3)]
+                    _ancestor_fill(i, vi + col, n_c, f_c)
+            else:
+                ax_a, ax_l = (
+                    (c.axis[i].tolist(), (0.0, 0.0, 0.0))
+                    if c.types[i] == jt.JointType.REVOLUTE
+                    else ((0.0, 0.0, 0.0), c.axis[i].tolist())
+                )
+                fa, fl = sym6_mv(ic[i], list(ax_a), list(ax_l))
+                # Diagonal entry: S^T F + armature
+                m_out[vi][vi] = (
+                    sum(ax_a[k] * fa[k] for k in range(3))
+                    + sum(ax_l[k] * fl[k] for k in range(3))
+                    + float(c.armature[vi])
+                )
+                _ancestor_fill(i, vi, fa, fl)
             # Accumulate composite inertia into the parent
             p = c.parents[i]
             if p >= 0:
@@ -836,6 +949,9 @@ class _CRBAMixin:
             if c.types[i] == jt.JointType.FREE:
                 vj_lin = [vc[vi], vc[vi + 1], vc[vi + 2]]
                 vj_ang = [vc[vi + 3], vc[vi + 4], vc[vi + 5]]
+            elif c.types[i] == jt.JointType.SPHERICAL:
+                vj_ang = [vc[vi], vc[vi + 1], vc[vi + 2]]
+                vj_lin = v3()
             elif c.types[i] == jt.JointType.REVOLUTE:
                 ax = c.axis[i].tolist()
                 vj_ang, vj_lin = v_scale(ax, vc[vi]), v3()
@@ -872,6 +988,9 @@ class _CRBAMixin:
                 full = [*f_a, *f_l]
                 for k in range(6):
                     tau[vi + k] = full[(k + 3) % 6]
+            elif c.types[i] == jt.JointType.SPHERICAL:
+                for k in range(3):
+                    tau[vi + k] = f_a[k]
             else:
                 ax_a, ax_l = svec[i]
                 tau[vi] = sum(ax_a[k] * f_a[k] for k in range(3)) + sum(

@@ -11,25 +11,46 @@ same names/semantics as the reference inventory.
 """
 
 from jiminy_tpu.quantities.generic import (
+    AverageFrameRollPitch,
     AverageFrameSpatialVelocity,
+    AverageMechanicalPowerConsumption,
     EnergyQuantity,
     FrameOrientation,
     FramePosition,
+    FrameSpatialAverageVelocity,
     FrameSpatialVelocity,
+    FrameXYZQuat,
     MaskedQuantity,
+    MechanicalPowerConsumption,
+    MultiActuatedJointKinematic,
+    MultiFrameCollisionDetection,
+    MultiFrameMeanXYZQuat,
     MultiFramePosition,
+    MultiFrameXYZQuat,
     UnaryOpQuantity,
     BinaryOpQuantity,
     ConcatenatedQuantity,
     DeltaQuantity,
+    remove_yaw,
 )
 from jiminy_tpu.quantities.locomotion import (
+    AverageBaseMomentum,
+    BaseOdometryAverageVelocity,
     BaseOdometryPose,
     BaseOdometryVelocity,
     BaseRelativeHeight,
+    BaseSpatialAverageVelocity,
     CapturePoint,
     CenterOfMass,
     CenterOfMassVelocity,
+    DeltaBaseOdometryOrientation,
+    DeltaBaseOdometryPosition,
+    MultiContactNormalizedSpatialForce,
+    MultiFootCollisionDetection,
+    MultiFootMeanOdometryPose,
+    MultiFootMeanXYZQuat,
+    MultiFootNormalizedForceVertical,
+    MultiFootRelativeXYZQuat,
     ZeroMomentPoint,
 )
 from jiminy_tpu.quantities.manager import QuantityManager
@@ -44,22 +65,43 @@ __all__ = [
     "QuantityManager",
     "FramePosition",
     "FrameOrientation",
+    "FrameXYZQuat",
     "FrameSpatialVelocity",
+    "FrameSpatialAverageVelocity",
     "AverageFrameSpatialVelocity",
+    "AverageFrameRollPitch",
     "MultiFramePosition",
+    "MultiFrameXYZQuat",
+    "MultiFrameMeanXYZQuat",
+    "MultiFrameCollisionDetection",
+    "MultiActuatedJointKinematic",
+    "MechanicalPowerConsumption",
+    "AverageMechanicalPowerConsumption",
     "MaskedQuantity",
     "UnaryOpQuantity",
     "BinaryOpQuantity",
     "ConcatenatedQuantity",
     "DeltaQuantity",
+    "remove_yaw",
     "EnergyQuantity",
     "CenterOfMass",
     "CenterOfMassVelocity",
     "ZeroMomentPoint",
     "CapturePoint",
+    "AverageBaseMomentum",
     "BaseOdometryPose",
     "BaseOdometryVelocity",
+    "BaseOdometryAverageVelocity",
+    "BaseSpatialAverageVelocity",
     "BaseRelativeHeight",
+    "DeltaBaseOdometryPosition",
+    "DeltaBaseOdometryOrientation",
+    "MultiFootMeanXYZQuat",
+    "MultiFootMeanOdometryPose",
+    "MultiFootRelativeXYZQuat",
+    "MultiContactNormalizedSpatialForce",
+    "MultiFootNormalizedForceVertical",
+    "MultiFootCollisionDetection",
     "TrajectoryDataset",
     "ReferenceTrajectory",
     "ReferenceQuantity",

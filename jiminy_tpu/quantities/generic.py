@@ -76,11 +76,166 @@ class AverageFrameSpatialVelocity(Quantity):
     `AverageFrameSpatialVelocity`).  Requires a `StackObservation`-style carry;
     falls back to the instantaneous velocity when unavailable."""
 
-    def __init__(self, frame_name: str):
-        self.inner = FrameSpatialVelocity(frame_name)
+    def __init__(self, frame_name: str, world_aligned: bool = False):
+        self.inner = FrameSpatialVelocity(frame_name, world_aligned)
 
     def __call__(self, env, state):
         return self.inner(env, state)
+
+
+# Reference class name (`quantities/generic.py:1429`)
+FrameSpatialAverageVelocity = AverageFrameSpatialVelocity
+
+
+class FrameXYZQuat(Quantity):
+    """World pose of a frame as (x, y, z, qx, qy, qz, qw) (reference
+    `FrameXYZQuat`, `quantities/generic.py:812`)."""
+
+    def __init__(self, frame_name: str):
+        self.frame_name = frame_name
+
+    def __call__(self, env, state):
+        model, kin = _kin(env, state)
+        fpl = frame_placement(model, kin, model.frame_index(self.frame_name))
+        return jnp.concatenate([fpl.pos, lie.mat_to_quat(fpl.rot)], axis=-1)
+
+
+class MultiFrameXYZQuat(Quantity):
+    """Stacked world poses (..., n, 7) of several frames in one FK pass
+    (reference `MultiFrameXYZQuat`, `quantities/generic.py:880`)."""
+
+    def __init__(self, frame_names: Sequence[str]):
+        self.frame_names = tuple(frame_names)
+
+    def __call__(self, env, state):
+        model, kin = _kin(env, state)
+        out = []
+        for n in self.frame_names:
+            fpl = frame_placement(model, kin, model.frame_index(n))
+            out.append(jnp.concatenate([fpl.pos, lie.mat_to_quat(fpl.rot)], axis=-1))
+        return jnp.stack(out, axis=-2)
+
+
+class MultiFrameMeanXYZQuat(Quantity):
+    """Mean pose of several frames: arithmetic mean position + quaternion
+    average (reference `MultiFrameMeanXYZQuat`, `quantities/generic.py:984`)."""
+
+    def __init__(self, frame_names: Sequence[str]):
+        self.inner = MultiFrameXYZQuat(frame_names)
+
+    def __call__(self, env, state):
+        poses = self.inner(env, state)
+        pos = jnp.mean(poses[..., 0:3], axis=-2)
+        quat = lie.quat_average(poses[..., 3:7], axis=-2)
+        return jnp.concatenate([pos, quat], axis=-1)
+
+
+def remove_yaw(quat: jnp.ndarray) -> jnp.ndarray:
+    """Quaternion with the yaw component removed (roll-pitch only): conjugate
+    by the inverse yaw rotation (reference `remove_yaw_from_quat`)."""
+    yaw = jnp.arctan2(
+        2.0 * (quat[..., 3] * quat[..., 2] + quat[..., 0] * quat[..., 1]),
+        1.0 - 2.0 * (quat[..., 1] ** 2 + quat[..., 2] ** 2),
+    )
+    half = -0.5 * yaw
+    q_yaw_inv = jnp.stack(
+        [
+            jnp.zeros_like(half),
+            jnp.zeros_like(half),
+            jnp.sin(half),
+            jnp.cos(half),
+        ],
+        axis=-1,
+    )
+    return lie.quat_mul(q_yaw_inv, quat)
+
+
+class AverageFrameRollPitch(Quantity):
+    """Yaw-free orientation (roll-pitch quaternion) of a frame (reference
+    `AverageFrameRollPitch`, `quantities/generic.py:1364`)."""
+
+    def __init__(self, frame_name: str):
+        self.frame_name = frame_name
+
+    def __call__(self, env, state):
+        model, kin = _kin(env, state)
+        rot = frame_placement(model, kin, model.frame_index(self.frame_name)).rot
+        return remove_yaw(lie.mat_to_quat(rot))
+
+
+class MultiActuatedJointKinematic(Quantity):
+    """Positions or velocities of all actuated (motor-side or joint-side)
+    1-dof joints, in motor order (reference `MultiActuatedJointKinematic`,
+    `quantities/generic.py:1538`)."""
+
+    def __init__(self, kinematic_level: str = "position", motor_side: bool = False):
+        if kinematic_level not in ("position", "velocity"):
+            raise ValueError("kinematic_level must be 'position' or 'velocity'")
+        self.kinematic_level = kinematic_level
+        self.motor_side = motor_side
+
+    def __call__(self, env, state):
+        motors = env.robot.motors
+        sim = state.sim
+        if self.kinematic_level == "position":
+            idx = jnp.asarray(motors.q_indices, jnp.int32)
+            val = jnp.take(sim.q, idx, axis=-1)
+        else:
+            idx = jnp.asarray(motors.v_indices, jnp.int32)
+            val = jnp.take(sim.v, idx, axis=-1)
+        if self.motor_side:
+            val = val * motors.mechanical_reduction
+        return val
+
+
+class MechanicalPowerConsumption(Quantity):
+    """Instantaneous total mechanical power consumption |u·v| of the motors
+    (reference `MechanicalPowerConsumption`, `quantities/generic.py:1750`;
+    generation mode CHARGE ≡ signed sum, PENALIZE ≡ absolute sum)."""
+
+    def __init__(self, generator_mode: str = "penalize"):
+        self.generator_mode = generator_mode
+
+    def __call__(self, env, state):
+        sim = state.sim
+        motors = env.robot.motors
+        vidx = jnp.asarray(motors.v_indices, jnp.int32)
+        v_motor = jnp.take(sim.v, vidx, axis=-1) * motors.mechanical_reduction
+        power = sim.u_motor * v_motor
+        if self.generator_mode == "charge":
+            return jnp.sum(power, axis=-1)
+        return jnp.sum(jnp.abs(power), axis=-1)
+
+
+class AverageMechanicalPowerConsumption(MechanicalPowerConsumption):
+    """Power consumption averaged over the last env step. The functional env
+    evaluates per step (ZOH command), so the end-of-step instantaneous value
+    is the step average (reference `AverageMechanicalPowerConsumption`,
+    `quantities/generic.py:1820`, trace-window variant)."""
+
+
+class MultiFrameCollisionDetection(Quantity):
+    """True when any pair of the given frames is closer than a security
+    margin — sphere-swept point approximation of the reference's hpp-fcl
+    geometry pairs (reference `MultiFrameCollisionDetection`,
+    `quantities/generic.py:1066`)."""
+
+    def __init__(self, frame_names: Sequence[str], security_margin: float = 0.0):
+        self.frame_names = tuple(frame_names)
+        self.security_margin = security_margin
+
+    def __call__(self, env, state):
+        model, kin = _kin(env, state)
+        pos = [
+            frame_placement(model, kin, model.frame_index(n)).pos
+            for n in self.frame_names
+        ]
+        hit = jnp.asarray(False)
+        for i in range(len(pos)):
+            for j in range(i + 1, len(pos)):
+                d = jnp.linalg.norm(pos[i] - pos[j], axis=-1)
+                hit = hit | (d < self.security_margin)
+        return hit
 
 
 class MultiFramePosition(Quantity):

@@ -139,3 +139,181 @@ class BaseRelativeHeight(Quantity):
             return q[..., 2]
         h, _ = ground(q[..., 0:2])
         return q[..., 2] - h
+
+
+# Reference class names: the functional env evaluates once per env step, so the
+# end-of-step instantaneous value IS the step average (`locomotion.py:223,292`)
+BaseSpatialAverageVelocity = BaseOdometryVelocity
+BaseOdometryAverageVelocity = BaseOdometryVelocity
+
+
+class AverageBaseMomentum(Quantity):
+    """Angular momentum of the floating base in the local odometry (yaw-free)
+    frame: R_no_yaw · (I_base · ω_local) (reference `AverageBaseMomentum`,
+    `quantities/locomotion.py:344`)."""
+
+    def __call__(self, env, state):
+        from jiminy_tpu.quantities.generic import remove_yaw
+
+        model = env.robot.model
+        q, v = state.sim.q, state.sim.v
+        inertia = model.inertia[..., 0, :, :]  # base body angular inertia
+        w_local = v[..., 3:6]
+        h = lie.mv(inertia, w_local)
+        quat_no_yaw = remove_yaw(q[..., 3:7])
+        return lie.quat_rotate(quat_no_yaw, h)
+
+
+def foot_frames(env):
+    """Foot contact frames grouped by parent joint: {joint_index: [frame_idx]}
+    (the reference auto-detects feet from the contact-frame tree)."""
+    model = env.robot.model
+    groups: dict = {}
+    for fidx in env.robot.contact_frame_indices:
+        groups.setdefault(model.frame_parents[fidx], []).append(fidx)
+    return groups
+
+
+class MultiFootMeanXYZQuat(Quantity):
+    """Mean pose of all feet: average position + quaternion average of the
+    foot body placements (reference `MultiFootMeanXYZQuat`,
+    `quantities/locomotion.py:416`)."""
+
+    def __call__(self, env, state):
+        model = env.robot.model
+        kin = forward_kinematics(model, state.sim.q)
+        poses = []
+        for j in foot_frames(env):
+            pos = kin.omi.pos[..., j, :]
+            quat = lie.mat_to_quat(kin.omi.rot[..., j, :, :])
+            poses.append(jnp.concatenate([pos, quat], axis=-1))
+        poses = jnp.stack(poses, axis=-2)
+        return jnp.concatenate(
+            [
+                jnp.mean(poses[..., 0:3], axis=-2),
+                lie.quat_average(poses[..., 3:7], axis=-2),
+            ],
+            axis=-1,
+        )
+
+
+class MultiFootMeanOdometryPose(Quantity):
+    """(x, y, yaw) of the mean foot pose (reference `MultiFootMeanOdometryPose`,
+    `quantities/locomotion.py:482`)."""
+
+    def __call__(self, env, state):
+        mean = MultiFootMeanXYZQuat()(env, state)
+        quat = mean[..., 3:7]
+        yaw = jnp.arctan2(
+            2.0 * (quat[..., 3] * quat[..., 2] + quat[..., 0] * quat[..., 1]),
+            1.0 - 2.0 * (quat[..., 1] ** 2 + quat[..., 2] ** 2),
+        )
+        return jnp.stack([mean[..., 0], mean[..., 1], yaw], axis=-1)
+
+
+class MultiFootRelativeXYZQuat(Quantity):
+    """Poses (..., nfeet, 7) of every foot relative to the mean foot pose
+    (reference `MultiFootRelativeXYZQuat`, `quantities/locomotion.py:702`)."""
+
+    def __call__(self, env, state):
+        model = env.robot.model
+        kin = forward_kinematics(model, state.sim.q)
+        mean = MultiFootMeanXYZQuat()(env, state)
+        mean_rot = lie.quat_to_mat(mean[..., 3:7])
+        mean_rot_t = jnp.swapaxes(mean_rot, -1, -2)
+        out = []
+        for j in foot_frames(env):
+            rel_p = lie.mv(mean_rot_t, kin.omi.pos[..., j, :] - mean[..., 0:3])
+            rel_r = lie.mm(mean_rot_t, kin.omi.rot[..., j, :, :])
+            out.append(jnp.concatenate([rel_p, lie.mat_to_quat(rel_r)], axis=-1))
+        return jnp.stack(out, axis=-2)
+
+
+class MultiContactNormalizedSpatialForce(Quantity):
+    """All contact forces stacked and normalized by the robot's weight
+    (reference `MultiContactNormalizedSpatialForce`,
+    `quantities/locomotion.py:1158`)."""
+
+    def __call__(self, env, state):
+        model = env.robot.model
+        weight = jnp.sum(model.mass, axis=-1) * jnp.linalg.norm(
+            env.engine.gravity, axis=-1
+        )
+        return state.sim.contact_forces / weight[..., None, None]
+
+
+class MultiFootNormalizedForceVertical(Quantity):
+    """Vertical ground reaction per foot (contact forces summed per foot
+    body), normalized by the robot's weight (reference
+    `MultiFootNormalizedForceVertical`, `quantities/locomotion.py:1315`)."""
+
+    def __call__(self, env, state):
+        model = env.robot.model
+        weight = jnp.sum(model.mass, axis=-1) * jnp.linalg.norm(
+            env.engine.gravity, axis=-1
+        )
+        frames = list(env.robot.contact_frame_indices)
+        out = []
+        for j, fidxs in foot_frames(env).items():
+            fz = 0.0
+            for fidx in fidxs:
+                k = frames.index(fidx)
+                fz = fz + state.sim.contact_forces[..., k, 2]
+            out.append(fz / weight)
+        return jnp.stack(out, axis=-1)
+
+
+class MultiFootCollisionDetection(Quantity):
+    """True when two feet are closer than the security margin (reference
+    `MultiFootCollisionDetection`, `quantities/locomotion.py:1485`; feet are
+    sphere-swept contact-point sets, matching the primitive narrow phase)."""
+
+    def __init__(self, security_margin: float = 0.02):
+        self.security_margin = security_margin
+
+    def __call__(self, env, state):
+        from jiminy_tpu.ops.kinematics import frame_placement
+
+        model = env.robot.model
+        kin = forward_kinematics(model, state.sim.q)
+        groups = list(foot_frames(env).values())
+        hit = jnp.asarray(False)
+        for i in range(len(groups)):
+            for j in range(i + 1, len(groups)):
+                for fa in groups[i]:
+                    for fb in groups[j]:
+                        pa = frame_placement(model, kin, fa).pos
+                        pb = frame_placement(model, kin, fb).pos
+                        d = jnp.linalg.norm(pa - pb, axis=-1)
+                        hit = hit | (d < self.security_margin)
+        return hit
+
+
+class DeltaBaseOdometryPosition(Quantity):
+    """Drift of the base odometry position (x, y) since the carry snapshot
+    (reference `DeltaBaseOdometryPosition`, `quantities/locomotion.py:1537`;
+    the horizon is set by how often `QuantityManager.attach_delta` snapshots)."""
+
+    def __init__(self, name: str = "base_odometry_position"):
+        from jiminy_tpu.quantities.generic import DeltaQuantity, MaskedQuantity
+
+        self.inner = DeltaQuantity(
+            MaskedQuantity(BaseOdometryPose(), (0, 1)), name
+        )
+
+    def __call__(self, env, state):
+        return self.inner(env, state)
+
+
+class DeltaBaseOdometryOrientation(Quantity):
+    """Drift of the base yaw since the carry snapshot (reference
+    `DeltaBaseOdometryOrientation`, `quantities/locomotion.py:1631`)."""
+
+    def __init__(self, name: str = "base_odometry_yaw"):
+        from jiminy_tpu.quantities.generic import DeltaQuantity, MaskedQuantity
+
+        self.inner = DeltaQuantity(MaskedQuantity(BaseOdometryPose(), (2,)), name)
+
+    def __call__(self, env, state):
+        delta = self.inner(env, state)
+        return jnp.arctan2(jnp.sin(delta), jnp.cos(delta))  # wrap to (-pi, pi]

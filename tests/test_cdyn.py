@@ -197,3 +197,143 @@ def test_pgs_componentwise_matches_einsum_all_row_types():
         ref = pgs_solve(cset, A, b, lam0, friction, torsion, 40, componentwise=False)
         out = pgs_solve(cset, A, b, lam0, friction, torsion, 40, componentwise=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-10)
+
+
+def test_cdyn_spherical_flexibility_matches_generic():
+    """Spherical joints in cdyn: a flexible pendulum (spherical flexibility
+    joint inserted by Robot.build) stepped on the fast path matches the
+    generic path, and raw ABA with a spherical joint matches dyn.aba."""
+    from jiminy_tpu.engine import Robot
+    from jiminy_tpu.engine.config import StepperOptions
+    from jiminy_tpu.engine import EngineOptions, Engine
+
+    model = build_model(
+        "flexpend",
+        [
+            {
+                "name": "pivot",
+                "type": JointType.REVOLUTE,
+                "parent": -1,
+                "axis": np.array([0.0, 1.0, 0.0]),
+                "mass": 1.0,
+                "com": np.array([0.0, 0.0, -0.4]),
+                "inertia": np.eye(3) * 1e-2,
+            },
+            {
+                "name": "elbow",
+                "type": JointType.REVOLUTE,
+                "parent": 0,
+                "axis": np.array([0.0, 1.0, 0.0]),
+                "placement": (np.eye(3), np.array([0.0, 0.0, -0.8])),
+                "mass": 0.7,
+                "com": np.array([0.0, 0.0, -0.3]),
+                "inertia": np.eye(3) * 5e-3,
+            },
+        ],
+    )
+    robot = Robot.build(
+        model,
+        motors=[{"joint_name": "pivot"}],
+        flexibility=[
+            {
+                "joint_name": "elbow",
+                "stiffness": (50.0, 60.0, 70.0),
+                "damping": (0.5, 0.4, 0.3),
+                "inertia": (1e-3, 1e-3, 1e-3),
+            }
+        ],
+    )
+    assert cdyn.supports_model(robot.model)
+    base = dict(stepper=StepperOptions(dt_max=1e-3))
+    eng_f = Engine(robot, EngineOptions(use_fast_dynamics="always", **base))
+    eng_r = Engine(robot, EngineOptions(use_fast_dynamics=False, **base))
+    assert eng_f._cdyn is not None
+    q0 = np.asarray(robot.model.neutral()).copy()
+    q0[0] = 0.7
+    st_f = eng_f.reset(jnp.asarray(q0))
+    st_r = eng_r.reset(jnp.asarray(q0))
+    step_f = jax.jit(eng_f.step)
+    step_r = jax.jit(eng_r.step)
+    for _ in range(200):
+        st_f = step_f(st_f, jnp.array([0.3]))
+        st_r = step_r(st_r, jnp.array([0.3]))
+    np.testing.assert_allclose(np.asarray(st_f.q), np.asarray(st_r.q), atol=1e-11)
+    np.testing.assert_allclose(np.asarray(st_f.v), np.asarray(st_r.v), atol=1e-11)
+    # Flexibility actually deflects (spherical joint not at identity)
+    qi = robot.model.idx_q[robot.flexibility.joint_indices[0]]
+    assert abs(float(st_f.q[qi + 1])) > 1e-5
+
+    # Raw ABA/CRBA/NLE consistency on random states of the extended model
+    m = robot.model
+    B = 4
+    qs = []
+    for _ in range(B):
+        quat = RNG.normal(size=4)
+        quat /= np.linalg.norm(quat)
+        q = np.asarray(m.neutral()).copy()
+        q[0] = RNG.normal() * 0.5
+        q[qi : qi + 4] = quat
+        qs.append(q)
+    qs = jnp.asarray(np.stack(qs))
+    vs = jnp.asarray(RNG.normal(size=(B, m.nv)))
+    taus = jnp.asarray(RNG.normal(size=(B, m.nv)))
+    cd = cdyn.ComponentDynamics(m, GRAV)
+    np.testing.assert_allclose(
+        np.asarray(cd.accel(qs, vs, taus)),
+        np.asarray(dyn.aba(m, GRAV, qs, vs, taus)),
+        atol=1e-10,
+    )
+    qc = [qs[..., i] for i in range(m.nq)]
+    vc = [vs[..., i] for i in range(m.nv)]
+    mm = cd.mass_matrix_components(qc)
+    mm = jnp.stack(
+        [jnp.stack([jnp.broadcast_to(e, (B,)) for e in row], -1) for row in mm], -2
+    )
+    np.testing.assert_allclose(
+        np.asarray(mm), np.asarray(dyn.crba(m, qs)), atol=1e-10
+    )
+    nle = cd.nle_components(qc, vc)
+    nle = jnp.stack([jnp.broadcast_to(e, (B,)) for e in nle], -1)
+    np.testing.assert_allclose(
+        np.asarray(nle),
+        np.asarray(dyn.nonlinear_effects(m, GRAV, qs, vs, None)),
+        atol=1e-10,
+    )
+
+
+def test_cdyn_reported_accel_with_damping_not_doubled():
+    """Regression: `dynamics_full`'s cdyn branch must not subtract viscous
+    joint damping twice (it is applied inside cdyn) — the reported `state.a`
+    (IMU accelerometer source) must match the generic path."""
+    from jiminy_tpu.engine import Engine, EngineOptions, Robot
+    from jiminy_tpu.engine.config import StepperOptions
+
+    model = build_model(
+        "damped",
+        [
+            {
+                "name": "pivot",
+                "type": JointType.REVOLUTE,
+                "parent": -1,
+                "axis": np.array([0.0, 1.0, 0.0]),
+                "mass": 1.0,
+                "com": np.array([0.0, 0.0, -0.5]),
+                "inertia": np.zeros((3, 3)),
+                "damping": 0.8,
+            }
+        ],
+    )
+    robot = Robot.build(model, motors=[{"joint_name": "pivot"}])
+    assert float(np.asarray(robot.model.damping)[0]) == 0.8
+    base = dict(stepper=StepperOptions(dt_max=1e-3))
+    eng_f = Engine(robot, EngineOptions(use_fast_dynamics="always", **base))
+    eng_r = Engine(robot, EngineOptions(use_fast_dynamics=False, **base))
+    assert eng_f._cdyn is not None
+    st_f = eng_f.reset(jnp.array([0.6]))
+    st_r = eng_r.reset(jnp.array([0.6]))
+    np.testing.assert_allclose(np.asarray(st_f.a), np.asarray(st_r.a), atol=1e-12)
+    step_f, step_r = jax.jit(eng_f.step), jax.jit(eng_r.step)
+    for _ in range(50):
+        st_f, st_r = step_f(st_f), step_r(st_r)
+    np.testing.assert_allclose(np.asarray(st_f.q), np.asarray(st_r.q), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(st_f.a), np.asarray(st_r.a), atol=1e-11)

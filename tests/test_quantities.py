@@ -124,3 +124,132 @@ def test_composed_env_rewards_terminations():
     st, obs, r, te, tr, _ = step(st, jnp.zeros((env.action_size,)))
     assert 0.0 <= float(r) <= 1.0
     assert isinstance(bool(te), bool)
+
+
+def test_frame_xyzquat_and_mean():
+    from jiminy_tpu.quantities import (
+        FrameXYZQuat,
+        MultiFrameMeanXYZQuat,
+        MultiFrameXYZQuat,
+    )
+
+    env, st = _env_state()
+    names = [env.robot.model.frame_names[f] for f in env.robot.contact_frame_indices]
+    pose = FrameXYZQuat(names[0])(env, st)
+    assert pose.shape == (7,)
+    assert abs(float(jnp.linalg.norm(pose[3:7])) - 1.0) < 1e-6
+    poses = MultiFrameXYZQuat(names)(env, st)
+    assert poses.shape == (len(names), 7)
+    np.testing.assert_allclose(np.asarray(poses[0]), np.asarray(pose), atol=1e-12)
+    mean = MultiFrameMeanXYZQuat(names)(env, st)
+    np.testing.assert_allclose(
+        np.asarray(mean[0:3]), np.mean(np.asarray(poses[:, 0:3]), axis=0), atol=1e-10
+    )
+
+
+def test_remove_yaw_and_roll_pitch():
+    from jiminy_tpu.ops import lie
+    from jiminy_tpu.quantities import remove_yaw
+
+    rpy = jnp.asarray([0.3, -0.2, 1.1])
+    quat = lie.mat_to_quat(lie.rpy_to_mat(rpy))
+    q_noyaw = remove_yaw(quat)
+    expected = lie.mat_to_quat(lie.rpy_to_mat(jnp.asarray([0.3, -0.2, 0.0])))
+    dot = abs(float(jnp.sum(q_noyaw * expected)))
+    assert abs(dot - 1.0) < 1e-6
+
+
+def test_actuated_joint_kinematic_and_power():
+    from jiminy_tpu.quantities import (
+        AverageMechanicalPowerConsumption,
+        MultiActuatedJointKinematic,
+    )
+
+    env, st = _env_state()
+    qm = MultiActuatedJointKinematic("position")(env, st)
+    assert qm.shape == (env.robot.nmotors,)
+    vm = MultiActuatedJointKinematic("velocity")(env, st)
+    assert float(jnp.linalg.norm(vm)) < 1e-9  # starts at rest
+    p = AverageMechanicalPowerConsumption()(env, st)
+    assert float(p) >= 0.0
+
+
+def test_foot_quantities():
+    from jiminy_tpu.quantities import (
+        MultiContactNormalizedSpatialForce,
+        MultiFootMeanOdometryPose,
+        MultiFootMeanXYZQuat,
+        MultiFootNormalizedForceVertical,
+        MultiFootRelativeXYZQuat,
+    )
+
+    env, st = _env_state()
+    # Let it settle so contact forces are realistic
+    step = jax.jit(env.step)
+    a = jnp.zeros((env.action_size,))
+    for _ in range(25):
+        st, *_ = env.step(st, a) if False else (step(st, a)[0],)
+    mean = MultiFootMeanXYZQuat()(env, st)
+    assert mean.shape == (7,)
+    odo = MultiFootMeanOdometryPose()(env, st)
+    assert odo.shape == (3,)
+    rel = MultiFootRelativeXYZQuat()(env, st)
+    assert rel.shape[0] == 4 and rel.shape[-1] == 7  # ANYmal: 4 feet
+    # Relative positions average ~0 by construction
+    np.testing.assert_allclose(
+        np.mean(np.asarray(rel[..., 0:3]), axis=0), 0.0, atol=1e-6
+    )
+    fz = MultiFootNormalizedForceVertical()(env, st)
+    assert fz.shape == (4,)
+    # Standing: feet carry ~the full weight
+    assert 0.5 < float(jnp.sum(fz)) < 1.5
+    fall = MultiContactNormalizedSpatialForce()(env, st)
+    assert fall.shape == (4, 3)
+
+
+def test_base_momentum_and_terminations():
+    from jiminy_tpu.compositions import (
+        FootCollisionTermination,
+        MechanicalSafetyTermination,
+        MinimizeAngularMomentumReward,
+        MinimizeFrictionReward,
+    )
+    from jiminy_tpu.quantities import AverageBaseMomentum
+
+    env, st = _env_state()
+    h = AverageBaseMomentum()(env, st)
+    assert h.shape == (3,)
+    assert float(jnp.linalg.norm(h)) < 1e-9  # at rest
+    r = MinimizeAngularMomentumReward()(env, st, None, st)
+    assert abs(float(r) - 1.0) < 1e-6  # zero momentum -> max reward
+    rf = MinimizeFrictionReward()(env, st, None, st)
+    assert 0.0 < float(rf) <= 1.0
+    assert not bool(FootCollisionTermination(0.02)(env, st))
+    assert bool(FootCollisionTermination(10.0)(env, st))  # huge margin trips
+    assert not bool(MechanicalSafetyTermination(velocity_max=1.0)(env, st))
+
+
+def test_drift_shift_terminations():
+    from jiminy_tpu.compositions import (
+        DriftTrackingBaseOdometryPositionTermination,
+        ShiftTrackingMotorPositionsTermination,
+    )
+    from jiminy_tpu.quantities import MultiActuatedJointKinematic
+
+    env, st = _env_state()
+    target = jnp.zeros(2)
+    assert not bool(
+        DriftTrackingBaseOdometryPositionTermination(target, max_drift=1.0)(env, st)
+    )
+    assert bool(
+        DriftTrackingBaseOdometryPositionTermination(
+            jnp.asarray([5.0, 5.0]), max_drift=1.0
+        )(env, st)
+    )
+    q0 = MultiActuatedJointKinematic("position")(env, st)
+    assert not bool(
+        ShiftTrackingMotorPositionsTermination(q0, max_shift=0.1)(env, st)
+    )
+    assert bool(
+        ShiftTrackingMotorPositionsTermination(q0 + 1.0, max_shift=0.1)(env, st)
+    )
