@@ -28,6 +28,7 @@ from jiminy_tpu.engine import internal as internal_mod
 from jiminy_tpu.engine import steppers
 from jiminy_tpu.engine.config import ContactModel, EngineOptions, IntegratorType
 from jiminy_tpu.engine.constraints import (
+    ConstraintSystem,
     build_constraint_set,
     compute_constraint_system,
     compute_distance_refs,
@@ -158,10 +159,19 @@ class Engine:
             from jiminy_tpu.ops import cdyn as cdyn_mod
 
             if cdyn_mod.supports_model(robot.model):
-                # Constrained path: component-wise CRBA/NLE (contacts and
-                # bounds flow through the PGS solver, not through cdyn)
+                # Constrained path: component-wise CRBA/NLE + spring-damper
+                # contact forces (PGS rows are assembled separately)
                 self._cdyn_cm = cdyn_mod.ComponentDynamics(
-                    robot.model, tuple(float(g) for g in opts.world.gravity)
+                    robot.model,
+                    tuple(float(g) for g in opts.world.gravity),
+                    contact_opts=opts.contacts if not self.constraint_mode else None,
+                    contact_frames=(
+                        robot.contact_frame_indices if not self.constraint_mode else ()
+                    ),
+                    contact_radii=(
+                        robot.contact_radii if not self.constraint_mode else ()
+                    ),
+                    ground_fn=self.ground_fn,
                 )
 
     def _build_penalty_bound_gains(self) -> dict:
@@ -308,7 +318,14 @@ class Engine:
                 a = self._cdyn.accel(q, v, u_cdyn)
                 aux_c = {}
             elif self.has_constraints:  # joint bounds + loop closures via PGS
-                csys, a, lam = self._constrained_accel(t, q, v, u, fext, kin, carry)
+                if self._bound_gains:
+                    u = u + internal_mod.penalty_bounds_torque(
+                        self._bound_gains, model.nv, q, v
+                    )
+                csys, a, lam = self._constrained_accel(
+                    t, q, v, u, fext, kin, carry,
+                    contacts_in_fext=fext_user is None,
+                )
                 aux_c = {
                     "lam": lam,
                     "contact_active": csys.contact_active,
@@ -363,8 +380,14 @@ class Engine:
             "bound_active": csys.bound_active,
         }
 
-    def _constrained_accel(self, t, q, v, u, fext, kin, carry):
-        """PGS-constrained forward dynamics path."""
+    def _constrained_accel(self, t, q, v, u, fext, kin, carry,
+                           contacts_in_fext: bool = False):
+        """PGS-constrained forward dynamics path.
+
+        `contacts_in_fext=True` marks that `fext` consists exactly of the
+        spring-damper ground contact forces (no user forces) — the fully
+        component-wise fast path then recomputes them internally and skips the
+        generic array `fext` entirely."""
         model = self._model_of(carry)
         batch = q.shape[:-1]
         cset = self.cset
@@ -375,6 +398,46 @@ class Engine:
                 "lam": jnp.zeros(batch + (cset.total_rows,), q.dtype),
                 "distance_ref": jnp.zeros(batch + (cset.n_distance,), q.dtype),
             }
+        if (
+            self._cdyn_cm is not None
+            and (fext is None or contacts_in_fext)
+            and (carry is None or carry.get("model") is None)
+            and cset.n_contacts == 0
+            and cset.n_bounds == 0
+            and cset.n_rolling == 0
+            and cset.n_distance > 0
+        ):
+            # Distance-loops-only fast path: the whole constrained dynamics is
+            # component-wise (no generic FK/Jacobian) — see
+            # `solver.distance_constrained_dynamics_cm`
+            import math as _math
+
+            from jiminy_tpu.engine.solver import distance_constrained_dynamics_cm
+
+            omega = 2.0 * _math.pi * self.options.contacts.stabilization_freq
+            res = distance_constrained_dynamics_cm(
+                self._cdyn_cm,
+                q,
+                v,
+                u,
+                cset.distance_pairs,
+                carry["distance_ref"],
+                omega * omega,
+                2.0 * omega,
+                carry["lam"],
+                self.options.stepper.pgs_regularization,
+                self.options.stepper.pgs_iter_max,
+            )
+            csys = ConstraintSystem(
+                jac=jnp.zeros(batch + (cset.total_rows, model.nv), q.dtype),
+                drift=jnp.zeros(batch + (cset.total_rows,), q.dtype),
+                active=jnp.ones(batch + (cset.total_rows,), bool),
+                contact_basis=jnp.zeros(batch + (0, 3, 3), q.dtype),
+                contact_active=jnp.zeros(batch + (0,), bool),
+                bound_active=jnp.zeros(batch + (0,), bool),
+                contact_depth=jnp.zeros(batch + (0,), q.dtype),
+            )
+            return csys, res.qdd, res.lam
         jac_world = joint_space_jacobian(model, kin)
         csys = compute_constraint_system(
             model,

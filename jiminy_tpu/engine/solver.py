@@ -290,6 +290,119 @@ def constrained_forward_dynamics(
     return ConstrainedDynamicsResult(qdd=qdd, lam=lam)
 
 
+def _ldl_factor_components(a):
+    """LDLᵀ factor of a symmetric matrix given as components (n x n python
+    lists of (batch,) arrays). Returns (l, dinv)."""
+    n = len(a)
+    l = [[None] * n for _ in range(n)]
+    dinv = [None] * n
+    d = [None] * n
+    for j in range(n):
+        dj = a[j][j]
+        for k in range(j):
+            dj = dj - l[j][k] * l[j][k] * d[k]
+        d[j] = dj
+        dinv[j] = 1.0 / dj
+        for i in range(j + 1, n):
+            s_ij = a[i][j]
+            for k in range(j):
+                s_ij = s_ij - l[i][k] * l[j][k] * d[k]
+            l[i][j] = s_ij * dinv[j]
+    return l, dinv
+
+
+def _ldl_solve_components(l, dinv, rhs):
+    """Solve with a prior `_ldl_factor_components` factor; rhs = list of (batch,)."""
+    n = len(dinv)
+    y = list(rhs)
+    for i in range(n):
+        for k in range(i):
+            y[i] = y[i] - l[i][k] * y[k]
+    for i in range(n):
+        y[i] = y[i] * dinv[i]
+    for i in reversed(range(n)):
+        for k in range(i + 1, n):
+            y[i] = y[i] - l[k][i] * y[k]
+    return y
+
+
+def distance_constrained_dynamics_cm(
+    cdyn_obj,
+    q: jnp.ndarray,
+    v: jnp.ndarray,
+    tau: jnp.ndarray,
+    pairs,
+    distance_ref: jnp.ndarray,  # (..., nd)
+    kp: float,
+    kd: float,
+    lam_warm: jnp.ndarray,  # (..., nd)
+    regularization: float,
+    iter_max: int,
+) -> ConstrainedDynamicsResult:
+    """Fully component-wise constrained forward dynamics for the distance-loop-
+    only case (Cassie/Digit pushrods, `DistanceConstraint` reference): FK,
+    Jacobian rows, CRBA/NLE, LDLᵀ solves, A = J·M⁻¹·Jᵀ and the Gauss–Seidel
+    iteration are all scalar-component math over the env batch — zero generic
+    spatial-algebra ops (same reassociated values as the generic path)."""
+    model = cdyn_obj.model
+    nv = model.nv
+    nd = len(pairs)
+    dtype = q.dtype
+    qc = [q[..., i] for i in range(model.nq)]
+    vc = [v[..., i] for i in range(nv)]
+    tc = [tau[..., i] for i in range(nv)]
+    xs = cdyn_obj._joint_x(qc)
+    world = cdyn_obj._world_placements(xs)
+    vel, acc = cdyn_obj._vel_bias_components(xs, vc)
+    dref = [distance_ref[..., k] for k in range(nd)]
+    rows, drifts = cdyn_obj.distance_rows_components(
+        xs, world, vel, acc, pairs, dref, kp, kd
+    )
+    mass = cdyn_obj.mass_matrix_components(qc, xs=xs)
+    fext_c = None
+    if cdyn_obj.contact_frames and cdyn_obj.contact_opts is not None:
+        fext_c, _ = cdyn_obj._contact_fext(xs, world, vel)
+    nle = cdyn_obj.nle_components(qc, vc, fext=fext_c, xs=xs)
+    l, dinv = _ldl_factor_components(mass)
+    tau_res = _ldl_solve_components(l, dinv, [tc[i] - nle[i] for i in range(nv)])
+    minv_jt = [_ldl_solve_components(l, dinv, list(rows[r])) for r in range(nd)]
+    a_c = [[None] * nd for _ in range(nd)]
+    for r in range(nd):
+        for c2 in range(nd):
+            a_c[r][c2] = sum(rows[r][k] * minv_jt[c2][k] for k in range(nv))
+    for r in range(nd):
+        a_c[r][r] = a_c[r][r] + jnp.maximum(
+            a_c[r][r] * regularization, _MIN_REGULARIZER
+        )
+    b_c = [
+        -drifts[r] - sum(rows[r][k] * tau_res[k] for k in range(nv))
+        for r in range(nd)
+    ]
+
+    # Plain Gauss–Seidel on the unbounded rows (identical update order and
+    # iteration count as `pgs_solve`; no relaxation on unbounded rows)
+    def body(it, lam_arr):
+        xs_l = [lam_arr[..., r] for r in range(nd)]
+        for r in range(nd):
+            y = b_c[r]
+            for k in range(nd):
+                y = y - a_c[k][r] * xs_l[k]
+            xs_l[r] = xs_l[r] + y / a_c[r][r]
+        return jnp.stack(xs_l, axis=-1)
+
+    lam = jax.lax.fori_loop(0, iter_max, body, lam_warm)
+    lam_c = [lam[..., r] for r in range(nd)]
+    qdd_c = [
+        tau_res[k] + sum(lam_c[r] * minv_jt[r][k] for r in range(nd))
+        for k in range(nv)
+    ]
+    batch = q.shape[:-1]
+    qdd = jnp.stack(
+        [jnp.broadcast_to(x, batch) for x in qdd_c], axis=-1
+    ).astype(dtype)
+    return ConstrainedDynamicsResult(qdd=qdd, lam=lam)
+
+
 def _unrolled_ldl_solve(m: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
     """Solve the SPD system m @ x = rhs with a fully-unrolled LDLᵀ over scalar
     components — the same component-wise trick as `ops.cdyn`: every entry is a

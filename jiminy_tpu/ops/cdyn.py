@@ -833,11 +833,12 @@ def _force_transform_col(rot, pos, n, f):
 
 
 class _CRBAMixin:
-    def mass_matrix_components(self, qc):
+    def mass_matrix_components(self, qc, xs=None):
         """CRBA with armature: returns nv x nv python list of (B,) entries."""
         c = self.c
         nv = self.model.nv
-        xs = self._joint_x(qc)
+        if xs is None:
+            xs = self._joint_x(qc)
         ic = [
             sym6_from_body(float(c.mass[i]), c.com[i].tolist(), c.inertia[i].tolist())
             for i in range(c.nj)
@@ -925,12 +926,17 @@ class _CRBAMixin:
                         ic[p][r][col] = ic[p][r][col] + ia_p[r][col]
         return m_out
 
-    def nle_components(self, qc, vc):
+    def nle_components(self, qc, vc, fext=None, xs=None):
         """Nonlinear effects (gravity + Coriolis/centrifugal) as nv components
-        (RNEA with zero acceleration, reference `nonlinear_effects`)."""
+        (RNEA with zero acceleration, reference `nonlinear_effects`).
+
+        `fext`: optional per-joint LOCAL wrenches [(ang V3, lin V3) or None]
+        subtracted from the backward force pass (same convention as
+        `_contact_fext`); `xs`: optional precomputed joint placements."""
         c = self.c
         g = self.gravity
-        xs = self._joint_x(qc)
+        if xs is None:
+            xs = self._joint_x(qc)
         vel = [None] * c.nj
         acc = [None] * c.nj
         f = [None] * c.nj
@@ -980,6 +986,9 @@ class _CRBAMixin:
             iv_a, iv_l = sym6_mv(ia, w_i, v_i)
             f_a = v_add(ia_a, v_add(v_cross(w_i, iv_a), v_cross(v_i, iv_l)))
             f_l = v_add(ia_l, v_cross(w_i, iv_l))
+            if fext is not None and fext[i] is not None:
+                f_a = v_sub(f_a, fext[i][0])
+                f_l = v_sub(f_l, fext[i][1])
             if f[i] is not None:
                 f_a = v_add(f_a, f[i][0])
                 f_l = v_add(f_l, f[i][1])
@@ -1007,6 +1016,136 @@ class _CRBAMixin:
         return tau
 
 
+class _ConstraintMixin:
+    """Component-wise constraint-system assembly for the distance-loop-only
+    constrained path (Cassie/Digit pushrods): frame kinematics, Jacobian rows
+    and Baumgarte drifts mirror `engine.constraints.compute_constraint_system`
+    bit-for-bit at matched precision, with zero generic spatial-algebra ops."""
+
+    def _vel_bias_components(self, xs, vc):
+        """Per-joint LOCAL velocity and velocity-bias acceleration (FK with
+        zero joint acceleration, no gravity — matches the `kin_bias` semantics
+        of `compute_constraint_system`)."""
+        c = self.c
+        vel = [None] * c.nj
+        acc = [None] * c.nj
+        for i in range(c.nj):
+            rot_i, pos_i = xs[i]
+            p = c.parents[i]
+            w_p, v_p = vel[p] if p >= 0 else (v3(), v3())
+            a_p = acc[p] if p >= 0 else (v3(), v3())
+            w_in = m_tv(rot_i, w_p)
+            v_in = m_tv(rot_i, v_sub(v_p, v_cross(pos_i, w_p)))
+            aw_in = m_tv(rot_i, a_p[0])
+            al_in = m_tv(rot_i, v_sub(a_p[1], v_cross(pos_i, a_p[0])))
+            vi = c.idx_v[i]
+            if c.types[i] == jt.JointType.FREE:
+                vj_lin = [vc[vi], vc[vi + 1], vc[vi + 2]]
+                vj_ang = [vc[vi + 3], vc[vi + 4], vc[vi + 5]]
+            elif c.types[i] == jt.JointType.SPHERICAL:
+                vj_ang = [vc[vi], vc[vi + 1], vc[vi + 2]]
+                vj_lin = v3()
+            elif c.types[i] == jt.JointType.REVOLUTE:
+                ax = c.axis[i].tolist()
+                vj_ang, vj_lin = v_scale(ax, vc[vi]), v3()
+            else:
+                ax = c.axis[i].tolist()
+                vj_ang, vj_lin = v3(), v_scale(ax, vc[vi])
+            w_i = v_add(w_in, vj_ang)
+            v_i = v_add(v_in, vj_lin)
+            vel[i] = (w_i, v_i)
+            b_ang = v_cross(w_i, vj_ang)
+            b_lin = v_add(v_cross(w_i, vj_lin), v_cross(v_i, vj_ang))
+            acc[i] = (v_add(aw_in, b_ang), v_add(al_in, b_lin))
+        return vel, acc
+
+    def _ancestors(self, joint):
+        out = []
+        j = joint
+        while j >= 0:
+            out.append(j)
+            j = self.c.parents[j]
+        return out[::-1]
+
+    def _point_jacobian_cols(self, world, joint, pf):
+        """World-aligned LINEAR Jacobian columns {vdof: V3} of the point `pf`
+        (world V3 components) attached to `joint`'s subtree."""
+        c = self.c
+        cols = {}
+        for j in self._ancestors(joint):
+            rw, pw = world[j]
+            vi = c.idx_v[j]
+            if c.types[j] == jt.JointType.FREE:
+                for k in range(3):  # translational dofs: R e_k
+                    cols[vi + k] = [rw[0][k], rw[1][k], rw[2][k]]
+                for k in range(3):  # rotational dofs: (R e_k) x (pf - p)
+                    axis_w = [rw[0][k], rw[1][k], rw[2][k]]
+                    cols[vi + 3 + k] = v_cross(axis_w, v_sub(pf, pw))
+            elif c.types[j] == jt.JointType.SPHERICAL:
+                for k in range(3):
+                    axis_w = [rw[0][k], rw[1][k], rw[2][k]]
+                    cols[vi + k] = v_cross(axis_w, v_sub(pf, pw))
+            elif c.types[j] == jt.JointType.REVOLUTE:
+                ax = c.axis[j].tolist()
+                axis_w = m_mv(rw, ax)
+                cols[vi] = v_cross(axis_w, v_sub(pf, pw))
+            else:  # PRISMATIC
+                ax = c.axis[j].tolist()
+                cols[vi] = m_mv(rw, ax)
+        return cols
+
+    def distance_rows_components(self, xs, world, vel, acc, pairs, dist_ref,
+                                 kp: float, kd: float):
+        """Jacobian rows + Baumgarte drifts of the distance-loop constraints
+        (mirror of the `---- distance loops ----` block in
+        `compute_constraint_system`). Returns (rows [nd][nv components], drift
+        [nd])."""
+        c = self.c
+        nv = self.model.nv
+        rows, drifts = [], []
+        for k, (fa, fb) in enumerate(pairs):
+            data = []
+            for fidx in (fa, fb):
+                parent = c.frame_parents[fidx]
+                fp = c.fpos[fidx].tolist()
+                rw, pw = world[parent]
+                p_f = v_add(m_mv(rw, fp), pw)
+                w_l, v_l = vel[parent]
+                a_l = acc[parent]
+                vw_lin = m_mv(rw, v_add(v_l, v_cross(w_l, fp)))
+                vw_ang = m_mv(rw, w_l)
+                aw_lin = v_add(
+                    m_mv(rw, v_sub(a_l[1], v_cross(fp, a_l[0]))),
+                    v_cross(vw_ang, vw_lin),
+                )
+                data.append((parent, p_f, vw_lin, aw_lin))
+            (ja_parent, pa, va, aa), (jb_parent, pb, vb, ab) = data
+            dp = v_sub(pa, pb)
+            dist = jnp.sqrt(jnp.maximum(v_dot(dp, dp), 1e-24))
+            direction = v_scale(dp, 1.0 / dist)
+            cols_a = self._point_jacobian_cols(world, ja_parent, pa)
+            cols_b = self._point_jacobian_cols(world, jb_parent, pb)
+            row = [0.0] * nv
+            for d, col in cols_a.items():
+                row[d] = row[d] + v_dot(direction, col)
+            for d, col in cols_b.items():
+                row[d] = row[d] - v_dot(direction, col)
+            dv = v_sub(va, vb)
+            dv_proj = v_dot(dv, direction)
+            g = v_dot(direction, v_sub(aa, ab))
+            g = g + (v_dot(dv, dv) - dv_proj * dv_proj) / dist
+            g = g + kp * (dist - dist_ref[k]) + kd * dv_proj
+            rows.append(row)
+            drifts.append(g)
+        return rows, drifts
+
+
 # Attach the mixin methods to ComponentDynamics
 ComponentDynamics.mass_matrix_components = _CRBAMixin.mass_matrix_components
 ComponentDynamics.nle_components = _CRBAMixin.nle_components
+ComponentDynamics._vel_bias_components = _ConstraintMixin._vel_bias_components
+ComponentDynamics._ancestors = _ConstraintMixin._ancestors
+ComponentDynamics._point_jacobian_cols = _ConstraintMixin._point_jacobian_cols
+ComponentDynamics.distance_rows_components = (
+    _ConstraintMixin.distance_rows_components
+)

@@ -337,3 +337,145 @@ def test_cdyn_reported_accel_with_damping_not_doubled():
         st_f, st_r = step_f(st_f), step_r(st_r)
     np.testing.assert_allclose(np.asarray(st_f.q), np.asarray(st_r.q), atol=1e-12)
     np.testing.assert_allclose(np.asarray(st_f.a), np.asarray(st_r.a), atol=1e-11)
+
+
+def test_distance_only_constrained_cm_matches_generic():
+    """The fully component-wise distance-loop constrained path (Cassie-style)
+    matches the generic kin/jacobian/PGS path."""
+    from jiminy_tpu.engine import Engine, EngineOptions, Robot
+    from jiminy_tpu.engine.config import StepperOptions
+
+    model = build_model(
+        "fourbar",
+        [
+            {
+                "name": "j0",
+                "type": JointType.REVOLUTE,
+                "parent": -1,
+                "axis": np.array([0.0, 1.0, 0.0]),
+                "mass": 1.0,
+                "com": np.array([0.0, 0.0, -0.25]),
+                "inertia": np.eye(3) * 1e-3,
+            },
+            {
+                "name": "j1",
+                "type": JointType.REVOLUTE,
+                "parent": 0,
+                "axis": np.array([0.0, 1.0, 0.0]),
+                "placement": (np.eye(3), np.array([0.0, 0.0, -0.5])),
+                "mass": 0.5,
+                "com": np.array([0.0, 0.0, -0.25]),
+                "inertia": np.eye(3) * 1e-3,
+            },
+            {
+                "name": "j2",
+                "type": JointType.REVOLUTE,
+                "parent": -1,
+                "axis": np.array([0.0, 1.0, 0.0]),
+                "placement": (np.eye(3), np.array([0.3, 0.0, 0.0])),
+                "mass": 0.5,
+                "com": np.array([0.0, 0.0, -0.25]),
+                "inertia": np.eye(3) * 1e-3,
+            },
+        ],
+        [
+            {"name": "tip_a", "parent": 1, "placement": (np.eye(3), np.array([0.0, 0.0, -0.5]))},
+            {"name": "tip_b", "parent": 2, "placement": (np.eye(3), np.array([0.0, 0.0, -0.5]))},
+        ],
+    )
+    robot = Robot.build(
+        model,
+        motors=[{"joint_name": "j0"}],
+        loop_constraints=[("tip_a", "tip_b")],
+    )
+    base = dict(stepper=StepperOptions(dt_max=1e-3))
+    eng_f = Engine(robot, EngineOptions(use_fast_dynamics="always", **base))
+    eng_r = Engine(robot, EngineOptions(use_fast_dynamics=False, **base))
+    assert eng_f._cdyn_cm is not None and eng_f.cset.n_distance == 1
+    q0 = jnp.asarray([0.3, -0.2, 0.1])
+    st_f, st_r = eng_f.reset(q0), eng_r.reset(q0)
+    step_f, step_r = jax.jit(eng_f.step), jax.jit(eng_r.step)
+    for _ in range(150):
+        st_f = step_f(st_f, jnp.array([0.5]))
+        st_r = step_r(st_r, jnp.array([0.5]))
+    np.testing.assert_allclose(np.asarray(st_f.q), np.asarray(st_r.q), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(st_f.v), np.asarray(st_r.v), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(st_f.lam), np.asarray(st_r.lam), atol=1e-6)
+
+
+def test_distance_loops_with_contacts_and_bounds_cm_matches_generic():
+    """The Cassie-shaped configuration — loop closures + spring-damper ground
+    contacts + penalty joint bounds — on the fully component-wise constrained
+    path matches the generic path (this is the `cassie-pid` RL hot path)."""
+    from jiminy_tpu.engine import Engine, EngineOptions, Robot
+    from jiminy_tpu.engine.config import StepperOptions
+
+    model = build_model(
+        "fourbar_c",
+        [
+            {
+                "name": "j0",
+                "type": JointType.REVOLUTE,
+                "parent": -1,
+                "axis": np.array([0.0, 1.0, 0.0]),
+                "placement": (np.eye(3), np.array([0.0, 0.0, 0.6])),
+                "mass": 1.0,
+                "com": np.array([0.0, 0.0, -0.25]),
+                "inertia": np.eye(3) * 1e-3,
+                "position_limit": (np.array([-1.0]), np.array([1.0])),
+            },
+            {
+                "name": "j1",
+                "type": JointType.REVOLUTE,
+                "parent": 0,
+                "axis": np.array([0.0, 1.0, 0.0]),
+                "placement": (np.eye(3), np.array([0.0, 0.0, -0.35])),
+                "mass": 0.5,
+                "com": np.array([0.0, 0.0, -0.15]),
+                "inertia": np.eye(3) * 1e-3,
+            },
+            {
+                "name": "j2",
+                "type": JointType.REVOLUTE,
+                "parent": -1,
+                "axis": np.array([0.0, 1.0, 0.0]),
+                "placement": (np.eye(3), np.array([0.15, 0.0, 0.6])),
+                "mass": 0.5,
+                "com": np.array([0.0, 0.0, -0.15]),
+                "inertia": np.eye(3) * 1e-3,
+            },
+        ],
+        [
+            {"name": "tip_a", "parent": 1, "placement": (np.eye(3), np.array([0.0, 0.0, -0.3]))},
+            {"name": "tip_b", "parent": 2, "placement": (np.eye(3), np.array([0.0, 0.0, -0.3]))},
+            {"name": "foot", "parent": 1, "placement": (np.eye(3), np.array([0.0, 0.0, -0.32]))},
+        ],
+    )
+    robot = Robot.build(
+        model,
+        motors=[{"joint_name": "j0"}],
+        contact_frames=["foot"],
+        loop_constraints=[("tip_a", "tip_b")],
+    )
+    contact = ContactOptions(stiffness=2e4, damping=4e2, friction=1.0)
+    base = dict(
+        contacts=contact,
+        stepper=StepperOptions(dt_max=1e-3),
+        joint_bounds_mode="penalty",
+    )
+    eng_f = Engine(robot, EngineOptions(use_fast_dynamics="always", **base))
+    eng_r = Engine(robot, EngineOptions(use_fast_dynamics=False, **base))
+    assert eng_f._cdyn_cm is not None
+    assert eng_f.cset.n_distance == 1 and eng_f.cset.n_contacts == 0
+    assert eng_f._bound_gains  # penalty bounds active
+    q0 = jnp.asarray([0.4, -0.3, 0.2])
+    st_f, st_r = eng_f.reset(q0), eng_r.reset(q0)
+    step_f, step_r = jax.jit(eng_f.step), jax.jit(eng_r.step)
+    for _ in range(300):
+        st_f = step_f(st_f, jnp.array([2.0]))
+        st_r = step_r(st_r, jnp.array([2.0]))
+    assert np.isfinite(np.asarray(st_f.q)).all()
+    np.testing.assert_allclose(np.asarray(st_f.q), np.asarray(st_r.q), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(st_f.v), np.asarray(st_r.v), atol=1e-8)
+    # Penalty bound holds: strong torque cannot push past the limit
+    assert float(st_f.q[0]) < 1.15
