@@ -76,6 +76,12 @@ def main():
     jax.block_until_ready(state.sim.q)
     elapsed = time.perf_counter() - t0
 
+    # Sanity (outside the timed region): the measured work must be physical
+    import numpy as np
+
+    q_final = np.asarray(state.sim.q)
+    assert np.isfinite(q_final).all(), "non-finite states after benchmark run"
+
     steps_per_sec = batch * n_steps / elapsed
     result = {
         "metric": "env_steps_per_sec_per_chip_"

@@ -96,6 +96,17 @@ class Engine:
 
         self._group_has_noise = {}
         self._group_needs_ring = {}
+        # IMU groups resolved statically so the fused post-step path can emit
+        # their raw measurements straight from the component-wise kinematics
+        from jiminy_tpu.engine.hardware import ImuSensorGroup as _ImuGroup
+
+        self._imu_group_frames = []  # [(group name, frame tuple)]
+        for name, g in robot.sensors.groups():
+            if isinstance(g, _ImuGroup):
+                self._imu_group_frames.append((name, tuple(g.frame_indices)))
+        self._imu_frames = tuple(
+            f for _, frames in self._imu_group_frames for f in frames
+        )
         for name, g in robot.sensors.groups():
             try:
                 self._group_has_noise[name] = bool(_np.any(_np.asarray(g.noise_std) != 0.0))
@@ -133,6 +144,7 @@ class Engine:
         )
         self._cdyn = None
         self._cdyn_cm = None  # component CRBA/NLE for the constrained path
+        self._period_runs = {}  # fused whole-period integrators, per kind
         fast_opt = self.options.use_fast_dynamics
         fast_enabled = fast_opt == "always" or (
             fast_opt is True and jax.default_backend() != "cpu"
@@ -496,6 +508,146 @@ class Engine:
             return f
         return lambda t, q, v: self.dynamics_full(t, q, v, command, carry)[0]
 
+    def _build_tau_c(self):
+        """Component-wise motor-transmission closure for the fused period
+        integrator — per-motor static constants, mirror of
+        `MotorBank.compute_efforts` (reference `basic_motors.cc:100-143`)."""
+        import numpy as _np
+
+        motors = self.robot.motors
+        nv = self.robot.nv
+        if motors is None or not motors.nmotors:
+            return lambda qc, vc, cc: [0.0] * nv
+        f = lambda arr: _np.asarray(arr, dtype=_np.float64)
+        red, el = f(motors.mechanical_reduction), f(motors.effort_limit)
+        vl, inv_s = f(motors.velocity_limit), f(motors.velocity_effort_inv_slope)
+        en_e = f(motors.enable_effort_limit) > 0
+        en_v = f(motors.enable_velocity_limit) > 0
+        en_f = f(motors.enable_friction) > 0
+        fvp, fvn = f(motors.friction_viscous_pos), f(motors.friction_viscous_neg)
+        fdp, fdn = f(motors.friction_dry_pos), f(motors.friction_dry_neg)
+        fds = f(motors.friction_dry_slope)
+        vidx = motors.v_indices
+
+        def tau_c(qc, vc, cc):
+            tc = [0.0] * nv
+            for m in range(len(vidx)):
+                vi = vidx[m]
+                v_j = vc[vi]
+                u = cc[m]
+                vel_delta = float(el[m] * inv_s[m])
+                if en_e[m] and en_v[m] and vel_delta > 0.0:
+                    # Linear torque-speed envelope
+                    v_m = float(red[m]) * v_j
+                    vel_thr = max(float(vl[m]) - vel_delta, 0.0)
+                    denom = max(float(vl[m]) - vel_thr, 1e-12)
+                    smin = jnp.clip((float(vl[m]) + v_m) / denom, 0.0, 1.0)
+                    smax = jnp.clip((float(vl[m]) - v_m) / denom, 0.0, 1.0)
+                    u = jnp.clip(u, -float(el[m]) * smin, float(el[m]) * smax)
+                elif en_e[m]:
+                    u = jnp.clip(u, -float(el[m]), float(el[m]))
+                u_t = float(red[m]) * u
+                if en_f[m]:
+                    fr = jnp.where(
+                        v_j > 0.0,
+                        float(fvp[m]) * v_j
+                        + float(fdp[m]) * jnp.tanh(float(fds[m]) * v_j),
+                        float(fvn[m]) * v_j
+                        + float(fdn[m]) * jnp.tanh(float(fds[m]) * v_j),
+                    )
+                    u_t = u_t + fr
+                tc[vi] = tc[vi] + u_t
+            return tc
+
+        return tau_c
+
+    def _get_period_run(self, kind: str):
+        """Lazily-built fused period integrator (whole sensor period — all
+        substeps, the end-of-period dynamics outputs and the raw sensor
+        kinematics — in one component-wise trace / one Pallas kernel per env
+        tile)."""
+        run = self._period_runs.get(kind)
+        if run is None:
+            dt = self.tick_period / self.n_substeps
+            run = self._cdyn.make_period_integrator(
+                self._build_tau_c(),
+                dt,
+                self.n_substeps,
+                integrator=kind,
+                pallas_tile=self._cdyn.pallas_tile,
+                imu_frames=self._imu_frames,
+            )
+            self._period_runs[kind] = run
+        return run
+
+    def _unpack_period_extras(self, extras, command, v):
+        """Split the fused period integrator's extras row into (a, aux) —
+        layout `[a | f_world | w_local | depth | imu]` (see
+        `ComponentDynamics.make_period_integrator`)."""
+        robot = self.robot
+        nv = robot.nv
+        nc = len(robot.contact_frame_indices)
+        batch = extras.shape[:-1]
+        a = extras[..., :nv]
+        off = nv
+        fw = extras[..., off : off + 3 * nc].reshape(batch + (nc, 3))
+        off += 3 * nc
+        wl = extras[..., off : off + 6 * nc].reshape(batch + (nc, 6))
+        off += 6 * nc
+        depth = extras[..., off : off + nc]
+        off += nc
+        raws = {}
+        for name, frames in self._imu_group_frames:
+            k = len(frames)
+            raws[name] = extras[..., off : off + 6 * k].reshape(batch + (k, 6))
+            off += 6 * k
+        if robot.motors is not None and robot.motors.nmotors:
+            u_motor, _ = robot.motors.compute_efforts(command, v)
+        else:
+            u_motor = jnp.zeros(batch + (0,), extras.dtype)
+        aux = {
+            "u_motor": u_motor,
+            "contact_f_world": fw,
+            "contact_w_local": wl,
+            "contact_depth": depth,
+            "sensor_raws": raws,
+        }
+        return a, aux
+
+    def _final_eval(self, t, q, v, command, carry):
+        """(a, aux) at an accepted step endpoint.
+
+        Fast path: when the fused component core is active, the whole post-step
+        pipeline (ABA + contact forces + IMU raws) is one component-wise trace —
+        no generic spatial-algebra FK (the dominant per-step overhead at large
+        batch).  Values are bit-identical to `dynamics_full` at f64."""
+        use_fused = (
+            self._cdyn is not None
+            and self.external_force_fn is None
+            and (carry is None or carry.get("model") is None)
+        )
+        if not use_fused:
+            return self.dynamics_full(t, q, v, command, carry)
+        robot = self.robot
+        batch = q.shape[:-1]
+        if robot.motors is not None and robot.motors.nmotors:
+            u_motor, u = robot.motors.compute_efforts(command, v)
+        else:
+            u_motor = jnp.zeros(batch + (0,), q.dtype)
+            u = jnp.zeros(batch + (robot.nv,), q.dtype)
+        if robot.flexibility is not None and robot.flexibility.joint_indices:
+            u = u + internal_mod.flexibility_torque(robot, q, v)
+        a = self._cdyn.accel(q, v, u)
+        auxc = self._cdyn.aux_outputs(q, v, a, imu_frames=self._imu_frames)
+        raws = {}
+        off = 0
+        imu_raw = auxc.pop("imu_raw")
+        for name, frames in self._imu_group_frames:
+            raws[name] = imu_raw[..., off : off + len(frames), :]
+            off += len(frames)
+        aux = {"u_motor": u_motor, "sensor_raws": raws, **auxc}
+        return a, aux
+
     def _carry_of(self, state: SimState) -> dict:
         return {
             "contact_active": state.contact_active,
@@ -613,7 +765,13 @@ class Engine:
         model_s = (
             state.model_params if state.model_params is not None else robot.model
         )
-        kin = forward_kinematics(model_s, state.q, state.v, a)
+        # Generic FK is only needed by kinematic sensors (IMU) whose raws were
+        # not already produced by the fused component-wise post-step path.
+        raws = aux.get("sensor_raws") or {}
+        imu_names = {name for name, _ in self._imu_group_frames}
+        kin = None
+        if any(name in imu_names and name not in raws for name, _ in groups):
+            kin = forward_kinematics(model_s, state.q, state.v, a)
         contact_f = {
             "gravity": self.gravity,
             "contact_forces_local": aux["contact_w_local"][..., 3:6],
@@ -624,9 +782,12 @@ class Engine:
         meas = {}
         key = state.key
         for name, g in groups:
-            raw = g.compute_raw(
-                robot.model, kin, state.q, state.v, a, aux["u_motor"], contact_f
-            )
+            if name in raws:
+                raw = raws[name]
+            else:
+                raw = g.compute_raw(
+                    robot.model, kin, state.q, state.v, a, aux["u_motor"], contact_f
+                )
             noisy = self._group_has_noise.get(name, True)
             sub = None
             if noisy:
@@ -650,8 +811,35 @@ class Engine:
         opts = self.options.stepper
         model = self.robot.model
         carry = self._carry_of(state)
-        f = self._accel_fn(command, carry)
         period = jnp.asarray(self.tick_period, self.dtype)
+
+        # Fully-fused fixed-step path: the whole tick (all substeps x stages)
+        # is one component-wise trace — and one Pallas kernel per env tile —
+        # instead of per-stage array-level dynamics evals.
+        fused_kind = {
+            IntegratorType.EULER_EXPLICIT: "euler",
+            IntegratorType.RUNGE_KUTTA_4: "rk4",
+        }.get(opts.integrator)
+        if (
+            fused_kind is not None
+            and self._cdyn is not None
+            and self.external_force_fn is None
+            and carry.get("model") is None
+            and (
+                self.robot.flexibility is None
+                or not self.robot.flexibility.joint_indices
+            )
+        ):
+            q, v, extras = self._get_period_run(fused_kind)(
+                state.q, state.v, command
+            )
+            a, aux = self._unpack_period_extras(extras, command, v)
+            new_stepper = state.stepper.replace(
+                iterations=state.stepper.iterations + self.n_substeps
+            )
+            return state.replace(q=integ.normalize(model, q), v=v), a, aux, new_stepper
+
+        f = self._accel_fn(command, carry)
 
         if opts.integrator == IntegratorType.EULER_EXPLICIT:
             dt = period / self.n_substeps
@@ -664,7 +852,7 @@ class Engine:
             (t_end, q, v), _ = jax.lax.scan(
                 body, (state.t, state.q, state.v), None, length=self.n_substeps
             )
-            a, aux = self.dynamics_full(t_end, q, v, command, carry)
+            a, aux = self._final_eval(t_end, q, v, command, carry)
             new_stepper = state.stepper.replace(
                 iterations=state.stepper.iterations + self.n_substeps
             )
@@ -681,7 +869,7 @@ class Engine:
             (t_end, q, v), _ = jax.lax.scan(
                 body, (state.t, state.q, state.v), None, length=self.n_substeps
             )
-            a, aux = self.dynamics_full(t_end, q, v, command, carry)
+            a, aux = self._final_eval(t_end, q, v, command, carry)
             new_stepper = state.stepper.replace(
                 iterations=state.stepper.iterations + self.n_substeps
             )
@@ -740,7 +928,7 @@ class Engine:
         }
         c = jax.lax.while_loop(cond, body, init)
         q, v = integ.normalize(model, c["q"]), c["v"]
-        a, aux = self.dynamics_full(state.t + period, q, v, command, carry)
+        a, aux = self._final_eval(state.t + period, q, v, command, carry)
         new_stepper = StepperState(
             dt=c["dt_pref"],
             iterations=c["iters"],

@@ -15,6 +15,7 @@ from jiminy_tpu.envs.bipeds import (
     CassieEnv,
     CassiePDControlEnv,
     DigitEnv,
+    DigitPDControlEnv,
 )
 
 _REGISTRY = {
@@ -27,6 +28,7 @@ _REGISTRY = {
     "cassie": CassieEnv,
     "cassie-pid": CassiePDControlEnv,
     "digit": DigitEnv,
+    "digit-pid": DigitPDControlEnv,
     "atlas": AtlasEnv,
     "atlas-reduced": AtlasReducedEnv,
     "atlas-pid": AtlasPDControlEnv,

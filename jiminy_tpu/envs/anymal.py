@@ -38,7 +38,11 @@ class ANYmalEnv(WalkerEnv):
 
 def ANYmalPDControlEnv(step_dt: float = 0.04, horizon: int = 500, kp=0.08, kd=0.06, **kw):
     """`-pid` pipeline variant: PD controller block on motor targets (reference
-    `ANYmalPDControlJiminyEnv` registration, `gym_jiminy/envs/__init__.py`)."""
+    `ANYmalPDControlJiminyEnv`).  The reference's tuned gains (joint-side
+    kp=1500, kd=0.01, `anymal.py:27-31`) assume its euler_explicit +
+    constraint-contact pipeline (`anymal_options.toml`); for this env's
+    spring-damper + RK4 pipeline they sit on a friction limit cycle, so the
+    defaults are re-tuned for quiet standing (|v| ~ 0.07 after 3 s)."""
     env = ANYmalEnv(step_dt=step_dt, horizon=horizon, **kw)
     pd = PDController(kp=kp, kd=kd).setup(env)
     return ControlledEnv(env, pd)

@@ -56,16 +56,40 @@ class AtlasReducedEnv(AtlasEnv):
 
 
 def AtlasPDControlEnv(step_dt: float = 0.04, horizon: int = 500,
-                      kp=0.4, kd=0.04, **kw):
+                      kp=None, kd=None, **kw):
     """Reference `AtlasPDControlJiminyEnv` — the robot of the reference's own
-    headline benchmark (`pipeline_benchmark.py`)."""
+    headline benchmark (`pipeline_benchmark.py`).  Default gains are the
+    reference's tuned per-joint values (`atlas.py PD_FULL_KP/KD`), converted
+    to our motor side."""
     env = AtlasEnv(step_dt=step_dt, horizon=horizon, **kw)
+    if kp is None or kd is None:
+        kp_t, kd_t = bb.pd_gains(env.robot, bb.ATLAS_PD_EFFECTIVE)
+        kp = kp_t if kp is None else kp
+        kd = kd_t if kd is None else kd
     pd = PDController(kp=kp, kd=kd).setup(env)
     return ControlledEnv(env, pd)
 
 
 def CassiePDControlEnv(step_dt: float = 0.04, horizon: int = 500,
-                       kp=0.3, kd=0.15, **kw):
+                       kp=None, kd=None, **kw):
+    """Reference `CassiePDControlJiminyEnv` (gains from `cassie.py PD_KP/KD`,
+    rescaled through the reduction ratios)."""
     env = CassieEnv(step_dt=step_dt, horizon=horizon, **kw)
+    if kp is None or kd is None:
+        kp_t, kd_t = bb.pd_gains(env.robot, bb.CASSIE_PD_EFFECTIVE)
+        kp = kp_t if kp is None else kp
+        kd = kd_t if kd is None else kd
+    pd = PDController(kp=kp, kd=kd).setup(env)
+    return ControlledEnv(env, pd)
+
+
+def DigitPDControlEnv(step_dt: float = 0.04, horizon: int = 500,
+                      kp=None, kd=None, **kw):
+    """Reference `DigitPDControlJiminyEnv` (gains from `digit.py PD_KP/KD`)."""
+    env = DigitEnv(step_dt=step_dt, horizon=horizon, **kw)
+    if kp is None or kd is None:
+        kp_t, kd_t = bb.pd_gains(env.robot, bb.DIGIT_PD_EFFECTIVE)
+        kp = kp_t if kp is None else kp
+        kd = kd_t if kd is None else kd
     pd = PDController(kp=kp, kd=kd).setup(env)
     return ControlledEnv(env, pd)

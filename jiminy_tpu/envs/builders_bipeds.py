@@ -263,7 +263,10 @@ def build_atlas(reduced: bool = False) -> Robot:
                 (f"{side}_arm_shz", _Z, [0.1, sy * 0.22, 0.4], (-1.6, 1.6), 4.0),
                 (f"{side}_arm_shx", _X, [0.0, sy * 0.11, -0.01], (-1.6, 1.6), 4.5),
                 (f"{side}_arm_ely", _Y, [0.0, sy * 0.19, 0.0], (0.0, 3.14), 3.6),
-                (f"{side}_arm_elx", _X, [0.0, sy * 0.12, 0.0], (0.0, 2.36), 3.2),
+                # elx limits mirror between sides (right elbow bends negative,
+                # as in the reference Atlas URDF)
+                (f"{side}_arm_elx", _X, [0.0, sy * 0.12, 0.0],
+                 (0.0, 2.36) if side == "l" else (-2.36, 0.0), 3.2),
                 (f"{side}_arm_wry", _Y, [0.0, sy * 0.19, 0.0], (-3.0, 3.0), 2.3),
                 (f"{side}_arm_wrx", _X, [0.0, sy * 0.12, 0.0], (-1.2, 1.2), 1.8),
                 (f"{side}_arm_wry2", _Y, [0.0, sy * 0.06, 0.0], (-0.0001, 0.0001), 0.5),
@@ -277,7 +280,7 @@ def build_atlas(reduced: bool = False) -> Robot:
     contact = [f"{s}_foot_{t}" for s in ("l", "r") for t in ("fl", "fr", "bl", "br")]
     return Robot.build(
         model,
-        motors=[{"joint_name": n, "armature": 1e-4, "mechanical_reduction": 10.0}
+        motors=[{"joint_name": n, "armature": 6e-3, "mechanical_reduction": 10.0}  # joint-side 0.6, ref atlas_hardware.toml
                 for n in motors],
         sensors={
             "encoder": [{"motor_name": n} for n in motors],
@@ -320,10 +323,71 @@ def cassie_standing_pose(model) -> np.ndarray:
         q[model.idx_q[j]] = val
 
     for side in ("l", "r"):
-        # Pitches about y sum to zero so the toe plate is level: the foot
-        # stands flat on both contact points.
-        set_j(f"hip_flexion_{side}", 0.45)
+        # Pitches about y sum to zero so the toe plate is level (flat on both
+        # contact points), and the angles place the support span directly
+        # under the CoM: com_x = +0.055, feet span x in [-0.018, +0.122]
+        # (numerically balanced; a pose with feet forward of the CoM cannot
+        # stand no matter the PD gains).
+        set_j(f"hip_flexion_{side}", 0.55)
         set_j(f"knee_joint_{side}", -1.2)
-        set_j(f"tarsus_joint_{side}", 1.45)
-        set_j(f"toe_joint_{side}", -0.7)
+        set_j(f"tarsus_joint_{side}", 1.95)
+        set_j(f"toe_joint_{side}", -1.3)
     return q
+
+
+# --------------------------------------------------------------------------- #
+# Reference-derived PD gains
+# --------------------------------------------------------------------------- #
+#
+# EFFECTIVE joint-side proportional stiffness [N*m/rad] and derivative time
+# constant [s], from the reference's tuned pipelines (`atlas.py PD_FULL_KP`
+# joint-side as-is; `cassie.py`/`digit.py` PD_KP are motor-side there, so the
+# effective value is kp * reduction^2 with the reference hardware-TOML
+# reductions).  `pd_gains` converts back to OUR motor side: kp_m = eff / red^2
+# (the PD acts on motor-side encoder errors and outputs motor-side efforts,
+# so the effective joint stiffness is kp_m * red^2).
+
+ATLAS_PD_EFFECTIVE = {
+    "back_bkz": (5000.0, 0.01), "back_bky": (8000.0, 0.015),
+    "back_bkx": (5000.0, 0.02), "neck_ry": (100.0, 0.01),
+    "leg_hpz": (5000.0, 0.01), "leg_hpx": (5000.0, 0.02),
+    "leg_hpy": (8000.0, 0.02), "leg_kny": (4000.0, 0.01),
+    "leg_aky": (8000.0, 0.025), "leg_akx": (5000.0, 0.01),
+    "arm_shz": (500.0, 0.01), "arm_shx": (100.0, 0.01),
+    "arm_ely": (200.0, 0.01), "arm_elx": (500.0, 0.02),
+    "arm_wry2": (10.0, 0.02), "arm_wry": (10.0, 0.01), "arm_wrx": (100.0, 0.02),
+}
+
+CASSIE_PD_EFFECTIVE = {
+    "hip_abduction": (2500.0, 0.02), "hip_rotation": (2500.0, 0.02),
+    "hip_flexion": (1600.0, 0.02), "knee_joint": (1600.0, 0.02),
+    "toe_joint": (4000.0, 0.015),
+}
+
+DIGIT_PD_EFFECTIVE = {
+    **CASSIE_PD_EFFECTIVE,
+    "shoulder_roll": (4000.0, 0.01), "shoulder_pitch": (4000.0, 0.01),
+    "shoulder_yaw": (2500.0, 0.01), "elbow": (4000.0, 0.01),
+}
+
+
+def pd_gains(robot, table, default=(500.0, 0.01), kd_min=0.05):
+    """Per-motor (kp, kd) arrays in OUR motor-side units from an effective
+    joint-side gain table (longest-prefix name matching).
+
+    `kd_min` floors the derivative time constant: the reference's kd values
+    (0.01-0.025 s) assume its euler+constraint pipeline; the spring-damper +
+    RK4 pipeline needs more derivative action at the 5 ms ZOH control grid to
+    stay quiet."""
+    kp, kd = [], []
+    red = np.asarray(robot.motors.mechanical_reduction)
+    for i, name in enumerate(robot.motors.names):
+        for key, (kpe, kdi) in table.items():
+            if key in name:
+                kp.append(kpe / float(red[i]) ** 2)
+                kd.append(max(kdi, kd_min))
+                break
+        else:
+            kp.append(default[0] / float(red[i]) ** 2)
+            kd.append(max(default[1], kd_min))
+    return np.asarray(kp), np.asarray(kd)

@@ -26,6 +26,7 @@ from __future__ import annotations
 import math
 from typing import Callable, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -339,13 +340,18 @@ class ComponentDynamics:
         return world
 
     # ---------------- contact ----------------
-    def _contact_fext(self, xs, world, vel):
+    def _contact_fext(self, xs, world, vel, want_aux: bool = False):
         """Spring-damper ground forces -> per-joint LOCAL wrench components
-        ((ang V3, lin V3) per joint) + world forces per contact (V3)."""
+        ((ang V3, lin V3) per joint) + world forces per contact (V3).
+
+        `want_aux` additionally collects per-contact (depth, w_local6) where
+        w_local6 is the LOCAL contact-frame wrench [n(3), f(3)] — mirror of
+        `engine.contact.compute_contact_forces`'s aux outputs."""
         c = self.c
         opts = self.contact_opts
         fext = [None] * c.nj
         f_world_all = []
+        aux_all = []
         for fidx, radius in zip(self.contact_frames, self.contact_radii):
             parent = c.frame_parents[fidx]
             fp = c.fpos[fidx].tolist()
@@ -400,12 +406,21 @@ class ComponentDynamics:
             tau_w = v_cross(lever, fw)
             f_j = m_tv(rw, fw)
             n_j = m_tv(rw, tau_w)
+            if want_aux:
+                # LOCAL contact-frame wrench: R_f = R_w(parent) @ frot
+                frot = c.frot[fidx].tolist()
+                f_local = m_tv(frot, f_j)
+                if d_off is not None:
+                    n_local = m_tv(frot, m_tv(rw, v_cross(d_off, fw)))
+                else:
+                    n_local = [jnp.zeros_like(f_local[0])] * 3
+                aux_all.append((depth, [*n_local, *f_local]))
             if fext[parent] is None:
                 fext[parent] = (n_j, f_j)
             else:
                 pa, pl = fext[parent]
                 fext[parent] = (v_add(pa, n_j), v_add(pl, f_j))
-        return fext, f_world_all
+        return fext, f_world_all, aux_all
 
     # ---------------- main evaluation ----------------
     def accel(self, q, v, tau, return_contacts: bool = False):
@@ -441,6 +456,354 @@ class ComponentDynamics:
             )
             return qdd_full, fw
         return qdd_full
+
+    # ---------------- post-step auxiliary outputs ----------------
+    def _fk_accel_components(self, xs, vc, ac):
+        """Velocity + gravity-free acceleration recursion given the solved
+        joint accelerations (component mirror of
+        `ops.kinematics.forward_kinematics(model, q, v, a)`)."""
+        c = self.c
+        vel = [None] * c.nj
+        acc = [None] * c.nj
+        for i in range(c.nj):
+            rot_i, pos_i = xs[i]
+            p = c.parents[i]
+            w_p, v_p = vel[p] if p >= 0 else (v3(), v3())
+            a_p = acc[p] if p >= 0 else (v3(), v3())
+            w_in = m_tv(rot_i, w_p)
+            v_in = m_tv(rot_i, v_sub(v_p, v_cross(pos_i, w_p)))
+            aw_in = m_tv(rot_i, a_p[0])
+            al_in = m_tv(rot_i, v_sub(a_p[1], v_cross(pos_i, a_p[0])))
+            vi = c.idx_v[i]
+            if c.types[i] == jt.JointType.FREE:
+                vj_lin = [vc[vi], vc[vi + 1], vc[vi + 2]]
+                vj_ang = [vc[vi + 3], vc[vi + 4], vc[vi + 5]]
+                aj_lin = [ac[vi], ac[vi + 1], ac[vi + 2]]
+                aj_ang = [ac[vi + 3], ac[vi + 4], ac[vi + 5]]
+            elif c.types[i] == jt.JointType.SPHERICAL:
+                vj_ang = [vc[vi], vc[vi + 1], vc[vi + 2]]
+                vj_lin = v3()
+                aj_ang = [ac[vi], ac[vi + 1], ac[vi + 2]]
+                aj_lin = v3()
+            elif c.types[i] == jt.JointType.REVOLUTE:
+                ax = c.axis[i].tolist()
+                vj_ang, vj_lin = v_scale(ax, vc[vi]), v3()
+                aj_ang, aj_lin = v_scale(ax, ac[vi]), v3()
+            else:  # PRISMATIC
+                ax = c.axis[i].tolist()
+                vj_ang, vj_lin = v3(), v_scale(ax, vc[vi])
+                aj_ang, aj_lin = v3(), v_scale(ax, ac[vi])
+            w_i = v_add(w_in, vj_ang)
+            v_i = v_add(v_in, vj_lin)
+            vel[i] = (w_i, v_i)
+            # a_i = X^-1 a_p + S qdd + v_i x vj (motion cross)
+            b_ang = v_cross(w_i, vj_ang)
+            b_lin = v_add(v_cross(w_i, vj_lin), v_cross(v_i, vj_ang))
+            acc[i] = (
+                v_add(v_add(aw_in, aj_ang), b_ang),
+                v_add(v_add(al_in, aj_lin), b_lin),
+            )
+        return vel, acc
+
+    def _aux_components(self, qc, vc, ac, imu_frames: tuple = ()):
+        """Component-level post-step outputs given solved accelerations:
+        returns (f_world rows, w_local rows, depth list, imu rows) where every
+        row is a list of components (see `aux_outputs` for semantics)."""
+        c = self.c
+        xs = self._joint_x(qc)
+        world = self._world_placements(xs)
+        vel, acc = self._fk_accel_components(xs, vc, ac)
+        if self.contact_frames and self.contact_opts is not None:
+            _, f_world_all, aux_all = self._contact_fext(
+                xs, world, vel, want_aux=True
+            )
+            w_local_all = [w for _, w in aux_all]
+            depth_all = [d for d, _ in aux_all]
+        else:
+            f_world_all, w_local_all, depth_all = [], [], []
+
+        imu_rows = []
+        g = self.gravity
+        for fidx in imu_frames:
+            parent = c.frame_parents[fidx]
+            frot = c.frot[fidx].tolist()
+            fp = c.fpos[fidx].tolist()
+            w_l, v_l = vel[parent]
+            a_a, a_l = acc[parent]
+            # Frame-LOCAL spatial velocity / gravity-free acceleration
+            w_f = m_tv(frot, w_l)
+            v_f = m_tv(frot, v_sub(v_l, v_cross(fp, w_l)))
+            al_f = m_tv(frot, v_sub(a_l, v_cross(fp, a_a)))
+            acc_cl = v_add(al_f, v_cross(w_f, v_f))
+            rw, _pw = world[parent]
+            rot_f = m_mm(rw, frot)
+            g_f = m_tv(rot_f, [g[0], g[1], g[2]])
+            accel = v_sub(acc_cl, g_f)
+            imu_rows.append([*w_f, *accel])
+        return f_world_all, w_local_all, depth_all, imu_rows
+
+    def aux_outputs(self, q, v, a, imu_frames: tuple = ()):
+        """Post-integration outputs computed component-wise in one trace:
+        spring-damper contact forces (world force, LOCAL contact-frame wrench,
+        signed depth) and raw IMU measurements (gyro, accel) for the given
+        frames.  Bit-identical at f64 to the generic pipeline the engine
+        otherwise runs per sensor period (`engine.contact.compute_contact_forces`
+        + `ops.kinematics` frame getters + `ImuSensorGroup.compute_raw` —
+        reference `engine.cc:3117-3238`, `basic_sensors.cc:142-188`); validated
+        in tests/test_cdyn.py.
+
+        Returns a dict: contact_f_world (..., nc, 3), contact_w_local
+        (..., nc, 6), contact_depth (..., nc), imu_raw (..., n_imu, 6).
+        """
+        model = self.model
+        qc = [q[..., i] for i in range(model.nq)]
+        vc = [v[..., i] for i in range(model.nv)]
+        ac = [a[..., i] for i in range(model.nv)]
+        batch = jnp.broadcast_shapes(q.shape[:-1], v.shape[:-1])
+        dtype = q.dtype
+        fw, wl, depth, imu = self._aux_components(qc, vc, ac, imu_frames)
+
+        def stack_v(rows, width):
+            if not rows:
+                return jnp.zeros(batch + (0, width), dtype)
+            flat = []
+            for r in rows:
+                comps = jnp.broadcast_arrays(
+                    *[jnp.asarray(x, dtype) + jnp.zeros(batch, dtype) for x in r]
+                )
+                flat.append(jnp.stack(comps, axis=-1))
+            return jnp.stack(flat, axis=-2)
+
+        out = {
+            "contact_f_world": stack_v(fw, 3),
+            "contact_w_local": stack_v(wl, 6),
+            "imu_raw": stack_v(imu, 6),
+        }
+        if depth:
+            depths = jnp.broadcast_arrays(
+                *[d + jnp.zeros(batch, dtype) for d in depth]
+            )
+            out["contact_depth"] = jnp.stack(depths, axis=-1)
+        else:
+            out["contact_depth"] = jnp.zeros(batch + (0,), dtype)
+        return out
+
+    # ---------------- component Lie-group integration ----------------
+    @staticmethod
+    def _exp3_quat_c(w):
+        """so(3) -> quaternion components [x, y, z, w] — mirror of `lie.exp3`
+        (same Taylor thresholds, bit-identical at matched precision)."""
+        theta2 = w[0] * w[0] + w[1] * w[1] + w[2] * w[2]
+        dtype = getattr(theta2, "dtype", jnp.float64)
+        eps = float(jnp.finfo(dtype).eps)
+        theta = jnp.sqrt(jnp.maximum(theta2, eps * eps))
+        small = theta2 < 1e-6  # lie._SMALL_ANGLE ** 2
+        s_over = jnp.where(small, 0.5 - theta2 / 48.0, jnp.sin(0.5 * theta) / theta)
+        c = jnp.where(
+            small,
+            1.0 - theta2 / 8.0 + theta2 * theta2 / 384.0,
+            jnp.cos(0.5 * theta),
+        )
+        return [w[0] * s_over, w[1] * s_over, w[2] * s_over, c]
+
+    @staticmethod
+    def _vmat_mv_c(w, vl):
+        """V(omega) @ v of the SE(3) exponential — mirror of `joints._exp6`."""
+        theta2 = w[0] * w[0] + w[1] * w[1] + w[2] * w[2]
+        dtype = getattr(theta2, "dtype", jnp.float64)
+        eps = float(jnp.finfo(dtype).eps)
+        theta = jnp.sqrt(jnp.maximum(theta2, eps * eps))
+        small = theta2 < 1e-6
+        b = jnp.where(
+            small, 0.5 - theta2 / 24.0,
+            (1.0 - jnp.cos(theta)) / jnp.maximum(theta2, 1e-30),
+        )
+        c = jnp.where(
+            small, 1.0 / 6.0 - theta2 / 120.0,
+            (theta - jnp.sin(theta)) / jnp.maximum(theta2 * theta, 1e-30),
+        )
+        wxv = v_cross(w, vl)
+        wxwxv = v_cross(w, wxv)
+        return [vl[k] + b * wxv[k] + c * wxwxv[k] for k in range(3)]
+
+    @staticmethod
+    def _quat_mul_c(q1, q2):
+        x1, y1, z1, w1 = q1
+        x2, y2, z2, w2 = q2
+        return [
+            w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+            w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+            w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+            w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+        ]
+
+    @staticmethod
+    def _quat_normalize_c(q):
+        n = jnp.sqrt(q[0] * q[0] + q[1] * q[1] + q[2] * q[2] + q[3] * q[3])
+        return [q[0] / n, q[1] / n, q[2] / n, q[3] / n]
+
+    def integrate_components(self, qc, dvc):
+        """Configuration retraction q (+) dv, component-wise (mirror of
+        `ops.integrate.integrate` / `joints.integrate_joint`)."""
+        c = self.c
+        out = list(qc)
+        for i in range(c.nj):
+            qi, vi = c.idx_q[i], c.idx_v[i]
+            t = c.types[i]
+            if t == jt.JointType.FREE:
+                p = [qc[qi], qc[qi + 1], qc[qi + 2]]
+                quat = [qc[qi + 3], qc[qi + 4], qc[qi + 5], qc[qi + 6]]
+                vlin = [dvc[vi], dvc[vi + 1], dvc[vi + 2]]
+                om = [dvc[vi + 3], dvc[vi + 4], dvc[vi + 5]]
+                p_d = self._vmat_mv_c(om, vlin)
+                rot = quat_to_m(quat[0], quat[1], quat[2], quat[3])
+                p_new = v_add(p, m_mv(rot, p_d))
+                q_new = self._quat_normalize_c(
+                    self._quat_mul_c(quat, self._exp3_quat_c(om))
+                )
+                out[qi : qi + 3] = p_new
+                out[qi + 3 : qi + 7] = q_new
+            elif t == jt.JointType.SPHERICAL:
+                quat = [qc[qi], qc[qi + 1], qc[qi + 2], qc[qi + 3]]
+                om = [dvc[vi], dvc[vi + 1], dvc[vi + 2]]
+                out[qi : qi + 4] = self._quat_normalize_c(
+                    self._quat_mul_c(quat, self._exp3_quat_c(om))
+                )
+            else:
+                out[qi] = qc[qi] + dvc[vi]
+        return out
+
+    # ---------------- fused multi-substep integration ----------------
+    def make_period_integrator(
+        self,
+        tau_c_fn,
+        dt: float,
+        n_substeps: int,
+        integrator: str = "rk4",
+        pallas_tile: int = 0,
+        imu_frames: Optional[tuple] = None,
+    ):
+        """Build the fused whole-period integrator:
+
+        - `imu_frames is None`: `(q, v, command) -> (q', v')`
+        - otherwise: `(q, v, command) -> (q', v', extras)` where `extras`
+          additionally carries the END-OF-PERIOD dynamics outputs computed in
+          the SAME kernel: solved acceleration, contact forces (world + LOCAL
+          wrench + depth) and raw IMU measurements, laid out as
+          `[a (nv) | f_world (nc*3) | w_local (nc*6) | depth (nc) | imu (ni*6)]`.
+
+        The whole sensor period is ONE trace (and one Pallas kernel per env
+        tile): no per-stage array restacking, no per-eval kernel dispatch.
+        `tau_c_fn(qc, vc, cmd_c) -> tc` yields joint torques component-wise
+        (the engine builds it from the motor transmission constants).  Values
+        match `steppers.rk4_step`/`euler_step` + `Engine._accel_fn` +
+        `aux_outputs` bit-for-bit at f64 (tests/test_cdyn.py)."""
+        model = self.model
+        nq, nv = model.nq, model.nv
+        nc = len(self.contact_frames)
+        with_outputs = imu_frames is not None
+        ni = len(imu_frames) if with_outputs else 0
+        n_extra = nv + nc * 10 + ni * 6 if with_outputs else 0
+
+        def final_outputs(qc, vc, cc):
+            """End-of-period solved accel + aux, as one flat component list."""
+            ac = self._accel_core(qc, vc, tau_c_fn(qc, vc, cc))[0]
+            fw, wl, depth, imu = self._aux_components(qc, vc, ac, imu_frames)
+            extras = list(ac)
+            for r in fw:
+                extras.extend(r)
+            for r in wl:
+                extras.extend(r)
+            extras.extend(depth)
+            for r in imu:
+                extras.extend(r)
+            return extras
+
+        def substep(qc, vc, cc):
+            k1a = self._accel_core(qc, vc, tau_c_fn(qc, vc, cc))[0]
+            if integrator == "euler":
+                q_n = self.integrate_components(qc, [dt * x for x in vc])
+                v_n = [vc[k] + dt * k1a[k] for k in range(nv)]
+                return q_n, v_n
+            q2 = self.integrate_components(qc, [0.5 * dt * x for x in vc])
+            v2 = [vc[k] + 0.5 * dt * k1a[k] for k in range(nv)]
+            k2a = self._accel_core(q2, v2, tau_c_fn(q2, v2, cc))[0]
+            q3 = self.integrate_components(qc, [0.5 * dt * x for x in v2])
+            v3 = [vc[k] + 0.5 * dt * k2a[k] for k in range(nv)]
+            k3a = self._accel_core(q3, v3, tau_c_fn(q3, v3, cc))[0]
+            q4 = self.integrate_components(qc, [dt * x for x in v3])
+            v4 = [vc[k] + dt * k3a[k] for k in range(nv)]
+            k4a = self._accel_core(q4, v4, tau_c_fn(q4, v4, cc))[0]
+            dq = [
+                (dt / 6.0) * (vc[k] + 2.0 * v2[k] + 2.0 * v3[k] + v4[k])
+                for k in range(nv)
+            ]
+            dv = [
+                (dt / 6.0) * (k1a[k] + 2.0 * k2a[k] + 2.0 * k3a[k] + k4a[k])
+                for k in range(nv)
+            ]
+            q_n = self.integrate_components(qc, dq)
+            v_n = [vc[k] + dv[k] for k in range(nv)]
+            return q_n, v_n
+
+        def run_xla(q, v, cmd):
+            # Substeps via `lax.scan` so trace/compile cost is one substep
+            # regardless of the substep count (CPU XLA chokes on the unrolled
+            # graph; TPU compile time also scales with it).
+            cc = [cmd[..., i] for i in range(cmd.shape[-1])]
+            batch = jnp.broadcast_shapes(q.shape[:-1], v.shape[:-1])
+
+            def stack(comps):
+                return jnp.stack(
+                    [jnp.broadcast_to(x, batch) for x in comps], axis=-1
+                )
+
+            def body(carry, _):
+                qa, va = carry
+                qc = [qa[..., i] for i in range(nq)]
+                vc = [va[..., i] for i in range(nv)]
+                qo, vo = substep(qc, vc, cc)
+                return (stack(qo), stack(vo)), None
+
+            if n_substeps == 1:
+                (q_new, v_new), _ = body((q, v), None)
+            else:
+                (q_new, v_new), _ = jax.lax.scan(
+                    body, (q, v), None, length=n_substeps
+                )
+            if not with_outputs:
+                return q_new, v_new
+            extras = final_outputs(
+                [q_new[..., i] for i in range(nq)],
+                [v_new[..., i] for i in range(nv)],
+                cc,
+            )
+            return q_new, v_new, stack(extras)
+
+        if not pallas_tile:
+            return run_xla
+        pallas_runs = {}
+
+        def run(q, v, cmd):
+            if q.ndim == 2 and self.ground_fn is None:
+                b = q.shape[0]
+                for tile in (pallas_tile, 4096, 2048, 1024, 512, 256):
+                    if tile and b % tile == 0 and tile % 128 == 0:
+                        if tile not in pallas_runs:
+                            pallas_runs[tile] = _pallas_period_fn(
+                                self,
+                                substep,
+                                n_substeps,
+                                tile=tile,
+                                final_outputs=(
+                                    final_outputs if with_outputs else None
+                                ),
+                                n_extra=n_extra,
+                            )
+                        return pallas_runs[tile](q, v, cmd)
+            return run_xla(q, v, cmd)
+
+        return run
 
     def _accel_core(self, qc, vc, tc):
         """Component-level dynamics core: lists in, lists out (used directly
@@ -508,7 +871,7 @@ class ComponentDynamics:
         f_world_all = []
         if self.contact_frames and self.contact_opts is not None:
             world = self._world_placements(xs)
-            fext, f_world_all = self._contact_fext(xs, world, vel)
+            fext, f_world_all, _ = self._contact_fext(xs, world, vel)
             for i in range(c.nj):
                 if fext[i] is not None:
                     pa_a, pa_l = pa[i]
@@ -811,6 +1174,103 @@ def _pallas_accel_fn(cd: "ComponentDynamics", tile: int = 1024):
             out_shape=jax.ShapeDtypeStruct((g, nv, sub, 128), q.dtype),
         )(to_tiles(q, nq), to_tiles(v, nv), to_tiles(tau, nv))
         return out.transpose(0, 2, 3, 1).reshape(b, nv)
+
+    return run
+
+
+def _pallas_period_fn(cd: "ComponentDynamics", substep, n_substeps: int,
+                      tile: int = 1024, final_outputs=None, n_extra: int = 0):
+    """The WHOLE sensor-period integration (n_substeps x RK4, each stage a full
+    contact-dynamics eval) as ONE Pallas kernel per env tile — optionally
+    including the end-of-period dynamics outputs (`final_outputs`).
+
+    vs `_pallas_accel_fn` (one kernel per dynamics eval): a 1 ms-substep, 5 ms
+    period RK4 pipeline needs 20 evals — 20 kernel dispatches and 40 HBM
+    round-trips of the state per period.  Here the state lives in VMEM across
+    all stages; HBM traffic is exactly one read and one write of (q, v, cmd).
+    """
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    model = cd.model
+    nq, nv = model.nq, model.nv
+    sub = tile // 128
+    with_outputs = final_outputs is not None
+
+    def kernel(q_ref, v_ref, c_ref, qo_ref, vo_ref, *extra_refs):
+        nm = c_ref.shape[1]
+        cc = [c_ref[0, i] for i in range(nm)]
+        dtype = qo_ref.dtype
+
+        def tile_of(x):
+            return jnp.broadcast_to(x, (sub, 128)).astype(dtype)
+
+        def body(_, carry):
+            qs, vs = carry
+            qo, vo = substep(list(qs), list(vs), cc)
+            return (
+                tuple(tile_of(x) for x in qo),
+                tuple(tile_of(x) for x in vo),
+            )
+
+        qs0 = tuple(q_ref[0, i] for i in range(nq))
+        vs0 = tuple(v_ref[0, i] for i in range(nv))
+        if n_substeps == 1:
+            qs, vs = body(0, (qs0, vs0))
+        else:
+            qs, vs = jax.lax.fori_loop(0, n_substeps, body, (qs0, vs0))
+        for i in range(nq):
+            qo_ref[0, i] = tile_of(qs[i])
+        for i in range(nv):
+            vo_ref[0, i] = tile_of(vs[i])
+        if with_outputs:
+            extras = final_outputs(list(qs), list(vs), cc)
+            eo_ref = extra_refs[0]
+            for i in range(n_extra):
+                eo_ref[0, i] = tile_of(extras[i])
+
+    def run(q, v, cmd):
+        b = q.shape[0]
+        g = b // tile
+        nm = max(cmd.shape[-1], 1)
+        if cmd.shape[-1] == 0:
+            cmd = jnp.zeros(cmd.shape[:-1] + (1,), q.dtype)
+
+        def to_tiles(x, n):
+            return x.reshape(g, sub, 128, n).transpose(0, 3, 1, 2)
+
+        spec = lambda n: pl.BlockSpec(
+            (1, n, sub, 128), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        )
+        out_specs = [spec(nq), spec(nv)]
+        out_shape = [
+            jax.ShapeDtypeStruct((g, nq, sub, 128), q.dtype),
+            jax.ShapeDtypeStruct((g, nv, sub, 128), q.dtype),
+        ]
+        if with_outputs:
+            out_specs.append(spec(n_extra))
+            out_shape.append(jax.ShapeDtypeStruct((g, n_extra, sub, 128), q.dtype))
+        outs = pl.pallas_call(
+            kernel,
+            grid=(g,),
+            in_specs=[spec(nq), spec(nv), spec(nm)],
+            out_specs=out_specs,
+            out_shape=out_shape,
+        )(to_tiles(q, nq), to_tiles(v, nv), to_tiles(cmd, nm))
+
+        def from_tiles(x, n):
+            return x.transpose(0, 2, 3, 1).reshape(b, n)
+
+        if with_outputs:
+            q_new, v_new, extras = outs
+            return (
+                from_tiles(q_new, nq),
+                from_tiles(v_new, nv),
+                from_tiles(extras, n_extra),
+            )
+        q_new, v_new = outs
+        return from_tiles(q_new, nq), from_tiles(v_new, nv)
 
     return run
 

@@ -6,6 +6,14 @@ of the vmapped env step *inside* the learner program, sharded across devices wit
 `jax.sharding` — gradients all-reduce over ICI, no object store, no RPC.
 """
 
+from jiminy_tpu.rl.evaluate import evaluate, policy_from_params
 from jiminy_tpu.rl.ppo import PPOConfig, PPOState, make_train, train
 
-__all__ = ["PPOConfig", "PPOState", "make_train", "train"]
+__all__ = [
+    "PPOConfig",
+    "PPOState",
+    "evaluate",
+    "make_train",
+    "policy_from_params",
+    "train",
+]

@@ -479,3 +479,126 @@ def test_distance_loops_with_contacts_and_bounds_cm_matches_generic():
     np.testing.assert_allclose(np.asarray(st_f.v), np.asarray(st_r.v), atol=1e-8)
     # Penalty bound holds: strong torque cannot push past the limit
     assert float(st_f.q[0]) < 1.15
+
+
+def test_aux_outputs_match_generic_anymal():
+    """Fused post-step outputs (contact f_world/w_local/depth + raw IMU) vs the
+    generic contact pass + FK + `ImuSensorGroup.compute_raw` pipeline."""
+    robot = build_anymal()
+    model = robot.model
+    opts = ContactOptions(stiffness=1e5, damping=2e3, friction=1.0)
+    q0 = anymal_standing_pose(model)
+    B = 4
+    qs = np.tile(q0, (B, 1))
+    qs[:, 2] += np.array([-0.02, -0.005, 0.0, 0.01])
+    qs[:, 7:] += RNG.normal(size=(B, model.nq - 7)) * 0.2
+    qs = jnp.asarray(qs)
+    vs = jnp.asarray(RNG.normal(size=(B, model.nv)) * 0.5)
+    accs = jnp.asarray(RNG.normal(size=(B, model.nv)) * 2.0)
+
+    cd = cdyn.ComponentDynamics(
+        model,
+        GRAV,
+        contact_opts=opts,
+        contact_frames=robot.contact_frame_indices,
+        contact_radii=robot.contact_radii,
+    )
+    imu = dict(robot.sensors.groups())["imu"]
+    aux = cd.aux_outputs(qs, vs, accs, imu_frames=tuple(imu.frame_indices))
+
+    kin = forward_kinematics(model, qs, vs, accs)
+    _, f_world, w_local, depth = compute_contact_forces(
+        model, opts, None, kin, robot.contact_frame_indices, robot.contact_radii
+    )
+    np.testing.assert_allclose(
+        np.asarray(aux["contact_f_world"]), np.asarray(f_world), atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(aux["contact_w_local"]), np.asarray(w_local), atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(aux["contact_depth"]), np.asarray(depth), atol=1e-12
+    )
+    contact_f = {
+        "gravity": GRAV,
+        "contact_forces_local": w_local[..., 3:6],
+        "contact_wrench_local": w_local,
+        "contact_frame_indices": robot.contact_frame_indices,
+    }
+    raw_ref = imu.compute_raw(model, kin, qs, vs, accs, None, contact_f)
+    np.testing.assert_allclose(
+        np.asarray(aux["imu_raw"]), np.asarray(raw_ref), atol=1e-9
+    )
+
+
+def test_engine_fused_sensor_parity():
+    """Full engine steps with the fused post-step path vs the generic path:
+    states AND all sensor measurements must agree (free-flyer base with IMU,
+    contact, force and encoder sensors)."""
+    model = build_model(
+        "box_leg",
+        [
+            {
+                "name": "root_joint",
+                "type": JointType.FREE,
+                "parent": -1,
+                "mass": 2.0,
+                "com": np.zeros(3),
+                "inertia": np.eye(3) * 0.02,
+            },
+            {
+                "name": "leg",
+                "type": JointType.REVOLUTE,
+                "parent": 0,
+                "placement": (np.eye(3), np.array([0.1, 0.0, 0.0])),
+                "axis": np.array([0.0, 1.0, 0.0]),
+                "mass": 0.3,
+                "com": np.array([0.0, 0.0, -0.15]),
+                "inertia": np.eye(3) * 1e-3,
+            },
+        ],
+        [
+            {"name": "imu_frame", "parent": 0,
+             "placement": (np.eye(3), np.array([0.02, 0.0, 0.05]))},
+            {"name": "foot", "parent": 1,
+             "placement": (np.eye(3), np.array([0.0, 0.0, -0.3]))},
+            {"name": "corner", "parent": 0,
+             "placement": (np.eye(3), np.array([-0.1, 0.0, -0.1]))},
+        ],
+    )
+    robot = Robot.build(
+        model,
+        motors=[{"joint_name": "leg", "effort_limit": 20.0}],
+        sensors={
+            "imu": [{"frame_name": "imu_frame"}],
+            "contact": [{"frame_name": "foot"}],
+            "force": [{"frame_name": "foot"}],
+            "encoder": [{"motor_name": "leg"}],
+            "effort": [{"motor_name": "leg"}],
+        },
+        contact_frames=["foot", "corner"],
+    )
+    contact = ContactOptions(stiffness=2e4, damping=5e2, friction=0.8)
+    base = dict(contacts=contact, stepper=StepperOptions(dt_max=1e-3))
+    eng_f = Engine(robot, EngineOptions(use_fast_dynamics="always", **base))
+    eng_r = Engine(robot, EngineOptions(use_fast_dynamics=False, **base))
+    assert eng_f._cdyn is not None and eng_f._imu_frames
+    q0 = jnp.asarray([0.0, 0.0, 0.35, 0.0, 0.0, 0.0, 1.0, 0.2])
+    st_f, st_r = eng_f.reset(q0), eng_r.reset(q0)
+    step_f, step_r = jax.jit(eng_f.step), jax.jit(eng_r.step)
+    cmd = jnp.asarray([1.5])
+    for _ in range(150):
+        st_f = step_f(st_f, cmd)
+        st_r = step_r(st_r, cmd)
+    np.testing.assert_allclose(np.asarray(st_f.q), np.asarray(st_r.q), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(st_f.v), np.asarray(st_r.v), atol=1e-9)
+    for name in st_r.measurements:
+        np.testing.assert_allclose(
+            np.asarray(st_f.measurements[name]),
+            np.asarray(st_r.measurements[name]),
+            atol=1e-9,
+            err_msg=name,
+        )
+    np.testing.assert_allclose(
+        np.asarray(st_f.contact_forces), np.asarray(st_r.contact_forces), atol=1e-8
+    )

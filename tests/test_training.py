@@ -37,3 +37,23 @@ def test_ppo_learns_cartpole():
                 break
         lengths.append(t + 1)
     assert np.mean(lengths) > 100  # untrained policy lasts ~25 steps
+
+
+def test_evaluate_rollout_and_record(tmp_path):
+    """`rl.evaluate`: jitted rollout -> Trajectory + episode stats + GIF replay
+    (reference `rllib/utilities.py evaluate_from_runner` record path)."""
+    from jiminy_tpu.rl import evaluate
+
+    env = make("pendulum")
+    gif = str(tmp_path / "roll.gif")
+    traj, stats = evaluate(
+        env,
+        lambda obs, key: jnp.zeros((env.action_size,)),
+        n_steps=40,
+        key=jax.random.PRNGKey(0),
+        record_gif=gif,
+    )
+    assert 1 <= stats["length"] <= 40
+    assert np.isfinite(stats["return"])
+    assert len(traj) == stats["length"]
+    assert (tmp_path / "roll.gif").exists()
