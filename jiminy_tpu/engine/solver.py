@@ -361,7 +361,7 @@ def distance_constrained_dynamics_cm(
     mass = cdyn_obj.mass_matrix_components(qc, xs=xs)
     fext_c = None
     if cdyn_obj.contact_frames and cdyn_obj.contact_opts is not None:
-        fext_c, _ = cdyn_obj._contact_fext(xs, world, vel)
+        fext_c, _, _ = cdyn_obj._contact_fext(xs, world, vel)
     nle = cdyn_obj.nle_components(qc, vc, fext=fext_c, xs=xs)
     l, dinv = _ldl_factor_components(mass)
     tau_res = _ldl_solve_components(l, dinv, [tc[i] - nle[i] for i in range(nv)])

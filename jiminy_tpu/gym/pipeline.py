@@ -147,10 +147,27 @@ class ComposedEnv(_Wrapper):
     """
 
     def __init__(self, env, reward: Optional[Callable] = None,
-                 terminations: Sequence[Callable] = ()):
+                 terminations: Sequence[Callable] = (),
+                 quantities=None):
         super().__init__(env)
         self.reward_fn = reward
         self.terminations = tuple(terminations)
+        # Optional QuantityManager: when given, Delta/Stacked quantity history
+        # is carried across env steps in `state.blocks` (reference shared-cache
+        # history; here the history IS part of the functional state).
+        self.quantities = quantities
+
+    def _snapshot(self, state):
+        if self.quantities is None:
+            return state
+        blocks = dict(state.blocks)
+        blocks["quantity_delta"] = self.quantities.delta_snapshot(state)
+        blocks["quantity_stack"] = self.quantities.stack_snapshot(state)
+        return state.replace(blocks=blocks)
+
+    def reset(self, key):
+        state, obs = self.env.reset(key)
+        return self._snapshot(state), obs
 
     def step(self, state, action):
         prev = state
@@ -159,6 +176,7 @@ class ComposedEnv(_Wrapper):
             reward = self.reward_fn(self, prev, action, state)
         for term in self.terminations:
             terminated = terminated | term(self, state)
+        state = self._snapshot(state)
         return state, obs, reward, terminated, truncated, info
 
 

@@ -31,6 +31,7 @@ from jiminy_tpu.quantities.generic import (
     BinaryOpQuantity,
     ConcatenatedQuantity,
     DeltaQuantity,
+    StackedQuantity,
     remove_yaw,
 )
 from jiminy_tpu.quantities.locomotion import (
@@ -82,6 +83,7 @@ __all__ = [
     "BinaryOpQuantity",
     "ConcatenatedQuantity",
     "DeltaQuantity",
+    "StackedQuantity",
     "remove_yaw",
     "EnergyQuantity",
     "CenterOfMass",

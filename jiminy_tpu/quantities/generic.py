@@ -319,8 +319,9 @@ class ConcatenatedQuantity(Quantity):
 
 class DeltaQuantity(Quantity):
     """Difference between the quantity now and at the previous env step; the
-    previous value is carried in `state.blocks['quantity_delta']` by
-    `QuantityManager.attach_delta` (reference `DeltaQuantity` over a horizon)."""
+    previous value is carried in `state.blocks['quantity_delta']`, written by
+    `ComposedEnv` when built with a `QuantityManager` (reference
+    `DeltaQuantity` over a horizon)."""
 
     def __init__(self, inner: Quantity, name: str):
         self.inner = inner
@@ -330,3 +331,24 @@ class DeltaQuantity(Quantity):
         current = self.inner(env, state)
         prev = state.blocks.get("quantity_delta", {}).get(self.name, current)
         return current - prev
+
+
+class StackedQuantity(Quantity):
+    """Last `num_stack` values of the inner quantity, stacked along a new
+    leading axis, oldest first (reference `StackedQuantity`,
+    `quantities/transform.py`).  The history ring is carried in
+    `state.blocks['quantity_stack'][name]` (written by `ComposedEnv` built
+    with a `QuantityManager`); before enough env steps have elapsed the
+    buffer is pre-filled with the reset-time value."""
+
+    def __init__(self, inner: Quantity, name: str, num_stack: int):
+        self.inner = inner
+        self.name = name
+        self.num_stack = int(num_stack)
+
+    def __call__(self, env, state):
+        current = jnp.asarray(self.inner(env, state))
+        buf = state.blocks.get("quantity_stack", {}).get(self.name)
+        if buf is None:
+            return jnp.stack([current] * self.num_stack, axis=0)
+        return jnp.concatenate([buf[1:], current[None]], axis=0)

@@ -38,3 +38,14 @@ class QuantityManager:
             if isinstance(q, DeltaQuantity):
                 out[q.name] = q.inner(self.env, state)
         return out
+
+    def stack_snapshot(self, state) -> dict:
+        """Updated history rings to carry for `StackedQuantity` next step
+        (each entry is the quantity's stacked value at this step)."""
+        from jiminy_tpu.quantities.generic import StackedQuantity
+
+        out = {}
+        for name, q in self.registry.items():
+            if isinstance(q, StackedQuantity):
+                out[q.name] = q(self.env, state)
+        return out

@@ -253,3 +253,43 @@ def test_drift_shift_terminations():
     assert bool(
         ShiftTrackingMotorPositionsTermination(q0 + 1.0, max_shift=0.1)(env, st)
     )
+
+
+def test_stacked_and_delta_history_carried():
+    """StackedQuantity / DeltaQuantity history rides `state.blocks` through
+    `ComposedEnv` (reference `StackedQuantity`/`DeltaQuantity`,
+    `quantities/transform.py`) — jit/scan-stable structure."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from jiminy_tpu.envs import make
+    from jiminy_tpu.gym.pipeline import ComposedEnv
+    from jiminy_tpu.quantities import DeltaQuantity, StackedQuantity
+    from jiminy_tpu.quantities.manager import QuantityManager
+
+    env = make("pendulum")
+    qm = QuantityManager(env)
+
+    class Angle:
+        def __call__(self, env, state):
+            return state.sim.q[..., 0]
+
+    qm["angle_stack"] = StackedQuantity(Angle(), "angle_stack", num_stack=3)
+    qm["angle_delta"] = DeltaQuantity(Angle(), "angle_delta")
+    cenv = ComposedEnv(env, quantities=qm)
+    st, _ = cenv.reset(jax.random.PRNGKey(0))
+    step = jax.jit(cenv.step)
+    angles = [float(st.sim.q[0])]
+    for _ in range(4):
+        st, *_ = step(st, jnp.asarray([0.4]))
+        angles.append(float(st.sim.q[0]))
+    stack = np.asarray(st.blocks["quantity_stack"]["angle_stack"])
+    np.testing.assert_allclose(stack, np.asarray(angles[-3:]), rtol=1e-9)
+    delta = qm.compute("angle_delta", st)
+    # delta at the NEXT evaluation = current - previous-step snapshot
+    np.testing.assert_allclose(float(delta), 0.0, atol=1e-12)  # same state
+    # advance once more: snapshot was angles[-1], so delta reflects the step
+    st2, *_ = step(st, jnp.asarray([0.4]))
+    d = float(qm.compute("angle_delta", st2.replace(blocks=st.blocks)))
+    np.testing.assert_allclose(d, float(st2.sim.q[0]) - angles[-1], atol=1e-12)
