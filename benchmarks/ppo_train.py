@@ -1,0 +1,76 @@
+"""End-to-end PPO training throughput on TPU: rollout + GAE + minibatch SGD,
+all inside one jitted train step (reference scale anchor: RLlib PPO with Ray
+workers — here the whole loop is on-device; SURVEY §2.6/§3.5).
+
+Usage (real TPU):
+    python benchmarks/ppo_train.py [--envs 2048] [--steps 16] [--iters 5]
+Prints one JSON line: aggregate env-steps/s through the FULL training loop
+(sample collection + learning), single chip.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import jax
+
+_CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                      ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--env", default="anymal-pid")
+    ap.add_argument("--envs", type=int, default=2048)
+    ap.add_argument("--steps", type=int, default=16)
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--pallas", type=int, default=1024)
+    args = ap.parse_args()
+
+    from jiminy_tpu.envs import make
+    from jiminy_tpu.gym import FlattenObservation
+    from jiminy_tpu.rl import PPOConfig, make_train
+
+    env = make(args.env, horizon=1000)
+    if args.pallas:
+        env.engine.options = env.engine.options.replace(pallas_tile=args.pallas)
+        if env.engine._cdyn is not None:
+            env.engine._cdyn.pallas_tile = args.pallas
+    env = FlattenObservation(env)
+
+    cfg = PPOConfig(
+        n_envs=args.envs,
+        n_steps=args.steps,
+        n_epochs=2,
+        n_minibatches=4,
+        total_iterations=args.iters,
+        vectorization="batched" if args.pallas else "vmap",
+    )
+    init_fn, train_step = make_train(env, cfg)
+    state = init_fn(jax.random.PRNGKey(0))
+    step = jax.jit(train_step, donate_argnums=0)
+    state, metrics = step(state)  # compile + warm up
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        state, metrics = step(state)
+    jax.block_until_ready(metrics["loss"])
+    elapsed = time.perf_counter() - t0
+
+    env_steps = args.envs * args.steps * args.iters
+    print(json.dumps({
+        "metric": "ppo_train_env_steps_per_sec_per_chip_" + args.env.replace("-", "_"),
+        "value": round(env_steps / elapsed, 1),
+        "unit": "env-steps/s (full PPO loop)",
+        "loss": float(metrics["loss"]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

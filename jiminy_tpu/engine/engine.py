@@ -535,7 +535,10 @@ class Engine:
                 vi = vidx[m]
                 v_j = vc[vi]
                 u = cc[m]
-                vel_delta = float(el[m] * inv_s[m])
+                # inf effort limit x zero slope -> no envelope (avoid inf*0=nan)
+                vel_delta = (
+                    float(el[m] * inv_s[m]) if _np.isfinite(el[m]) else 0.0
+                )
                 if en_e[m] and en_v[m] and vel_delta > 0.0:
                     # Linear torque-speed envelope
                     v_m = float(red[m]) * v_j

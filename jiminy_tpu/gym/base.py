@@ -127,14 +127,8 @@ class BaseEnv:
         )
         return state, self.observe(state)
 
-    def step(self, state: EnvState, action):
-        obs = self.observe(state)
-        command = self._action_to_command(state, action, obs)
-
-        def ctrl_substep(sim, _):
-            return self.engine.step(sim, command), None
-
-        sim, _ = jax.lax.scan(ctrl_substep, state.sim, None, length=self.n_ctrl_per_step)
+    def _finalize_step(self, state: EnvState, action, sim) -> Tuple:
+        """Shared tail of `step`: bookkeeping, observation, reward, termination."""
         next_state = state.replace(
             sim=sim,
             steps=state.steps + 1,
@@ -148,6 +142,37 @@ class BaseEnv:
         truncated = next_state.steps >= self.horizon
         info: Dict[str, Any] = {}
         return next_state, obs, reward, terminated, truncated, info
+
+    def step(self, state: EnvState, action):
+        obs = self.observe(state)
+        command = self._action_to_command(state, action, obs)
+
+        def ctrl_substep(sim, _):
+            return self.engine.step(sim, command), None
+
+        sim, _ = jax.lax.scan(ctrl_substep, state.sim, None, length=self.n_ctrl_per_step)
+        return self._finalize_step(state, action, sim)
+
+    def step_with_controller(self, state: EnvState, action, controller: Callable,
+                             carry):
+        """Advance `step_dt` with `controller(env_state_view, carry) ->
+        (command, carry)` re-evaluated at EVERY controller update period —
+        the reference's `FunctionalController` bridge semantics
+        (`controller_functor.h:27`, `interfaces.py:331`: the whole pipeline
+        runs inside the physics loop at its own update period, not once per
+        env step).  `action` is the env-level action recorded in the state.
+        Returns the usual step tuple plus the final carry."""
+
+        def ctrl_substep(c, _):
+            sim, cr = c
+            command, cr = controller(state.replace(sim=sim), cr)
+            sim = self.engine.step(sim, command)
+            return (sim, cr), None
+
+        (sim, carry), _ = jax.lax.scan(
+            ctrl_substep, (state.sim, carry), None, length=self.n_ctrl_per_step
+        )
+        return (*self._finalize_step(state, action, sim), carry)
 
     # ------------------------------------------------------------------ #
     # Convenience rollout (single env or under vmap)

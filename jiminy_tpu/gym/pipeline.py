@@ -95,6 +95,27 @@ class ControlledEnv(_Wrapper):
         return obs
 
     def step(self, state, action):
+        if isinstance(self.env, BaseEnv):
+            # Directly over the base env (the reference REQUIRES this for
+            # `PDController`): re-evaluate the block at EVERY controller
+            # update period inside the physics loop, exactly like the
+            # reference's FunctionalController bridge — not once per env step.
+            def controller(st_view, bstate):
+                obs = self.env.observe(st_view)
+                return self.block.compute(action, obs, bstate)
+
+            (state, _, reward, terminated, truncated, info, bstate) = (
+                self.env.step_with_controller(
+                    state, action, controller, state.blocks[self.block.name]
+                )
+            )
+            state = state.replace(
+                blocks={**state.blocks, self.block.name: bstate}
+            )
+            return (state, self.observe(state), reward, terminated, truncated,
+                    info)
+        # Generic fallback (blocks stacked above other wrappers update at the
+        # env-step rate, like the reference's update_ratio=-1 outer layers)
         obs = self._block_obs(self.observe(state), state)
         command, bstate = self.block.compute(action, obs, state.blocks[self.block.name])
         state = state.replace(blocks={**state.blocks, self.block.name: bstate})

@@ -5,6 +5,12 @@ from jiminy_tpu.utils.terrain import (
     PeriodicGaussianProcess,
     discretize_heightmap,
     merge_heightmaps,
+    octave_perlin1,
+    octave_perlin2,
+    octave_perlin3,
+    perlin1,
+    perlin2,
+    perlin3,
     periodic_perlin_ground,
     periodic_stairs_ground,
     random_perlin_ground,
@@ -15,6 +21,12 @@ from jiminy_tpu.utils.terrain import (
 __all__ = [
     "PeriodicGaussianProcess",
     "PeriodicFourierProcess",
+    "perlin1",
+    "perlin2",
+    "perlin3",
+    "octave_perlin1",
+    "octave_perlin2",
+    "octave_perlin3",
     "periodic_stairs_ground",
     "random_perlin_ground",
     "periodic_perlin_ground",

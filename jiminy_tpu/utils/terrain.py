@@ -139,6 +139,95 @@ def octave_perlin2(x, y, octaves: int = 4, persistence: float = 0.5, seed: int =
     return total / norm
 
 
+def perlin1(x, seed: int = 0):
+    """Single-octave 1D Perlin gradient noise (reference 1D `PerlinProcess`,
+    `utilities/random.h` — e.g. scalar noise processes over time)."""
+    x = jnp.asarray(x)
+    dtype = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
+    x0 = jnp.floor(x)
+    ix0 = x0.astype(jnp.int32)
+    fx = (x - x0).astype(dtype)
+
+    def grad(ix):
+        # 1D "gradient": slope in [-1, 1) from the lattice hash
+        h = _hash2(ix, jnp.zeros_like(ix), seed)
+        return h.astype(dtype) * (2.0 / 4294967296.0) - 1.0
+
+    n0 = grad(ix0) * fx
+    n1 = grad(ix0 + 1) * (fx - 1.0)
+    return n0 + _fade(fx) * (n1 - n0)
+
+
+def octave_perlin1(x, octaves: int = 4, persistence: float = 0.5, seed: int = 0):
+    total, amp, freq, norm = 0.0, 1.0, 1.0, 0.0
+    for o in range(octaves):
+        total = total + amp * perlin1(x * freq, seed=seed + o)
+        norm += amp
+        amp *= persistence
+        freq *= 2.0
+    return total / norm
+
+
+def _hash3(ix, iy, iz, seed):
+    h = (
+        ix.astype(jnp.uint32) * jnp.uint32(374761393)
+        ^ iy.astype(jnp.uint32) * jnp.uint32(668265263)
+        ^ iz.astype(jnp.uint32) * jnp.uint32(2246822519)
+        ^ jnp.uint32(seed)
+    )
+    h = (h ^ (h >> 13)) * jnp.uint32(1274126177)
+    return h ^ (h >> 16)
+
+
+def perlin3(x, y, z, seed: int = 0):
+    """Single-octave 3D Perlin gradient noise (reference 3D Perlin,
+    `utilities/random.h:37-495`)."""
+    x = jnp.asarray(x)
+    dtype = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
+    x0, y0, z0 = jnp.floor(x), jnp.floor(y), jnp.floor(z)
+    ix0, iy0, iz0 = (v.astype(jnp.int32) for v in (x0, y0, z0))
+    fx = (x - x0).astype(dtype)
+    fy = (y - y0).astype(dtype)
+    fz = (z - z0).astype(dtype)
+
+    def dot_grad(ix, iy, iz, dx, dy, dz):
+        # Unit gradient from two hashed angles (uniform on the sphere is not
+        # required for valid Perlin noise; the lattice hash decorrelates)
+        h1 = _hash3(ix, iy, iz, seed).astype(dtype) * (2.0 * np.pi / 4294967296.0)
+        h2 = _hash3(ix, iy, iz, seed + 0x9E37) .astype(dtype) * (2.0 / 4294967296.0) - 1.0
+        st = jnp.sqrt(jnp.maximum(1.0 - h2 * h2, 0.0))
+        gx, gy, gz = st * jnp.cos(h1), st * jnp.sin(h1), h2
+        return gx * dx + gy * dy + gz * dz
+
+    n000 = dot_grad(ix0, iy0, iz0, fx, fy, fz)
+    n100 = dot_grad(ix0 + 1, iy0, iz0, fx - 1.0, fy, fz)
+    n010 = dot_grad(ix0, iy0 + 1, iz0, fx, fy - 1.0, fz)
+    n110 = dot_grad(ix0 + 1, iy0 + 1, iz0, fx - 1.0, fy - 1.0, fz)
+    n001 = dot_grad(ix0, iy0, iz0 + 1, fx, fy, fz - 1.0)
+    n101 = dot_grad(ix0 + 1, iy0, iz0 + 1, fx - 1.0, fy, fz - 1.0)
+    n011 = dot_grad(ix0, iy0 + 1, iz0 + 1, fx, fy - 1.0, fz - 1.0)
+    n111 = dot_grad(ix0 + 1, iy0 + 1, iz0 + 1, fx - 1.0, fy - 1.0, fz - 1.0)
+    u, v, w = _fade(fx), _fade(fy), _fade(fz)
+    nx00 = n000 + u * (n100 - n000)
+    nx10 = n010 + u * (n110 - n010)
+    nx01 = n001 + u * (n101 - n001)
+    nx11 = n011 + u * (n111 - n011)
+    nxy0 = nx00 + v * (nx10 - nx00)
+    nxy1 = nx01 + v * (nx11 - nx01)
+    return nxy0 + w * (nxy1 - nxy0)
+
+
+def octave_perlin3(x, y, z, octaves: int = 4, persistence: float = 0.5,
+                   seed: int = 0):
+    total, amp, freq, norm = 0.0, 1.0, 1.0, 0.0
+    for o in range(octaves):
+        total = total + amp * perlin3(x * freq, y * freq, z * freq, seed=seed + o)
+        norm += amp
+        amp *= persistence
+        freq *= 2.0
+    return total / norm
+
+
 # --------------------------------------------------------------------------- #
 # Ground generators (reference `geometry.cc`: periodicStairs,
 # randomPerlinGround, periodicPerlinGround, unidirectionalRandomPerlinGround)

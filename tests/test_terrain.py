@@ -119,3 +119,28 @@ def test_engine_on_perlin_ground():
     # Resting just below the local surface height (static spring deflection)
     deflection = 9.81 / 1e4
     assert abs(float(st.q[0]) - (float(h0[0]) - deflection)) < 2e-3
+
+
+def test_perlin_1d_3d_octaves():
+    """1D/3D octave Perlin (reference random.h 1-3D Perlin processes):
+    deterministic, smooth, bounded, seed-sensitive."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from jiminy_tpu.utils.terrain import octave_perlin1, octave_perlin3, perlin1, perlin3
+
+    t = jnp.linspace(0.0, 10.0, 500)
+    a = np.asarray(octave_perlin1(t, seed=3))
+    b = np.asarray(octave_perlin1(t, seed=3))
+    c = np.asarray(octave_perlin1(t, seed=4))
+    np.testing.assert_array_equal(a, b)
+    assert np.abs(a - c).max() > 1e-3  # different seeds differ
+    assert np.abs(a).max() < 2.0
+    assert np.abs(np.diff(a)).max() < 0.2  # continuous
+
+    x = jnp.linspace(0.0, 4.0, 50)
+    v = np.asarray(perlin3(x, x * 0.7, x * 0.3, seed=1))
+    assert np.isfinite(v).all() and np.abs(v).max() < 1.5
+    # lattice values are exactly zero only at integer corners of all 3 axes
+    v0 = float(perlin1(jnp.asarray(2.0)))
+    assert v0 == 0.0
