@@ -213,3 +213,82 @@ def _write_toml(path: str, d: dict, prefix: str = "") -> None:
     emit(d, prefix)
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")
+
+
+class MultiSimulator:
+    """Multi-robot simulation facade over `MultiRobotEngine` (reference
+    multi-robot `Simulator` usage: `Simulator.add_robot`, `simulator.py:288`,
+    with coupling forces registered on the shared engine).
+
+    Usage::
+
+        sim = MultiSimulator({"a": robot_a, "b": robot_b})
+        sim.register_viscoelastic_coupling_force("a", "tip", "b", "tip",
+                                                 stiffness, damping)
+        sim.start({"a": qa, "b": qb})
+        sim.step()                    # lock-step, all robots
+    """
+
+    def __init__(self, robots, options: Optional[EngineOptions] = None):
+        from jiminy_tpu.engine.multi import MultiRobotEngine
+
+        self.engine = MultiRobotEngine(dict(robots), options)
+        self.names = self.engine.names
+        self.states = None
+        self._seed = 0
+        self._is_running = False
+
+    def add_robot(self, name: str, robot: Robot) -> None:
+        """Add another robot before starting (reference `Simulator.add_robot`)."""
+        if self._is_running:
+            raise RuntimeError("cannot add a robot while a simulation is running")
+        from jiminy_tpu.engine.multi import MultiRobotEngine
+
+        robots = {n: self.engine.engines[n].robot for n in self.names}
+        robots[name] = robot
+        couplings = self.engine.couplings
+        self.engine = MultiRobotEngine(robots, self.engine.options)
+        self.engine.couplings = couplings
+        self.names = self.engine.names
+
+    def register_viscoelastic_coupling_force(self, *args, **kwargs) -> None:
+        self.engine.register_viscoelastic_coupling_force(*args, **kwargs)
+
+    def register_coupling_force(self, *args, **kwargs) -> None:
+        self.engine.register_coupling_force(*args, **kwargs)
+
+    def seed(self, seed: int) -> None:
+        self._seed = int(seed)
+
+    def start(self, q_inits, v_inits=None) -> None:
+        key = jax.random.PRNGKey(self._seed)
+        self.states = self.engine.reset(q_inits, v_inits, key=key)
+        self._step_jit = jax.jit(self.engine.step)
+        self._is_running = True
+
+    def step(self, commands=None):
+        if not self._is_running:
+            raise RuntimeError("No simulation running — call `start` first.")
+        self.states = self._step_jit(self.states, commands)
+        return self.states
+
+    def simulate(self, t_end: float, q_inits, v_inits=None, policy=None):
+        """Run `t_end` seconds; returns the per-robot (t, q, v) trajectories."""
+        self.start(q_inits, v_inits)
+        n_steps = int(round(t_end / self.engine.sensor_period))
+        traj = {n: [] for n in self.names}
+        for _ in range(n_steps):
+            cmds = policy(self.states) if policy is not None else None
+            self.step(cmds)
+            for n in self.names:
+                st = self.states[n]
+                traj[n].append((np.asarray(st.t), np.asarray(st.q), np.asarray(st.v)))
+        self._is_running = False
+        return {
+            n: {
+                "t": np.stack([e[0] for e in rows]),
+                "q": np.stack([e[1] for e in rows]),
+                "v": np.stack([e[2] for e in rows]),
+            }
+            for n, rows in traj.items()
+        }

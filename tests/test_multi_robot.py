@@ -88,3 +88,26 @@ def test_momentum_conservation():
         states = step(states)
     p = 1.0 * float(states["a"].v[0]) + 3.0 * float(states["b"].v[0])
     assert abs(p) < 1e-9
+
+
+def test_multi_simulator_facade():
+    """MultiSimulator: build, add_robot, coupling, start/step/simulate
+    (reference multi-robot `Simulator.add_robot` workflow)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from jiminy_tpu.simulator import MultiSimulator
+
+    ra = _mass_robot("a")
+    rb = _mass_robot("b")
+    sim = MultiSimulator({"a": ra})
+    sim.add_robot("b", rb)
+    sim.register_viscoelastic_coupling_force(
+        "a", "body", "b", "body", stiffness=50.0, damping=2.0
+    )
+    out = sim.simulate(0.2, {"a": jnp.array([0.3]), "b": jnp.array([-0.3])})
+    assert set(out) == {"a", "b"}
+    qa, qb = out["a"]["q"][:, 0], out["b"]["q"][:, 0]
+    assert np.isfinite(qa).all() and np.isfinite(qb).all()
+    # spring coupling pulls the two masses toward each other
+    assert abs(qa[-1] - qb[-1]) < abs(qa[0] - qb[0])
