@@ -13,11 +13,17 @@ import jax.numpy as jnp
 from jiminy_tpu.gym.pipeline import _Wrapper
 
 
-def flatten_pytree(obs) -> jnp.ndarray:
+def flatten_pytree(obs, batch_ndim: int = 0) -> jnp.ndarray:
+    """Flatten a pytree observation to one vector per env, preserving the
+    first `batch_ndim` (explicit env-batch) axes of every leaf."""
     leaves = jax.tree.leaves(obs)
     if not leaves:
         return jnp.zeros((0,))
-    return jnp.concatenate([jnp.ravel(x).astype(leaves[0].dtype) for x in leaves])
+    lead = leaves[0].shape[:batch_ndim]
+    return jnp.concatenate(
+        [x.reshape(lead + (-1,)).astype(leaves[0].dtype) for x in leaves],
+        axis=-1,
+    )
 
 
 class FlattenObservation(_Wrapper):
@@ -25,7 +31,10 @@ class FlattenObservation(_Wrapper):
     `FlattenObservation`)."""
 
     def observe(self, state):
-        return flatten_pytree(self.env.observe(state))
+        # The carried PRNG key is (2,) per env, so extra leading axes on it
+        # count the explicit env-batch dims (vmapped envs see a single env).
+        batch_ndim = max(state.key.ndim - 1, 0)
+        return flatten_pytree(self.env.observe(state), batch_ndim)
 
     def reset(self, key):
         state, _ = self.env.reset(key)

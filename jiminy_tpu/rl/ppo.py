@@ -260,6 +260,7 @@ def make_train(
             )
             total = total + config.l2_reg * l2
         metrics = {
+            "loss": total,
             "pg_loss": pg_loss,
             "vf_loss": vf_loss,
             "entropy": ent,
