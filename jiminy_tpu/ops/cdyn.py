@@ -296,6 +296,13 @@ class ComponentDynamics:
         self.pallas_tile = int(pallas_tile)
         self._pallas_runs = {}
 
+    def _pallas_ground_ok(self) -> bool:
+        """The megakernel supports flat ground and any heightmap exposing the
+        elementwise `height_components` API (all `utils.terrain` generators)."""
+        return self.ground_fn is None or (
+            getattr(self.ground_fn, "height_components", None) is not None
+        )
+
     # ---------------- kinematics ----------------
     def _joint_x(self, qc):
         """Per-joint placement in parent joint frame: (M3, V3) lists."""
@@ -369,11 +376,18 @@ class ComponentDynamics:
                 depth = pc[2]
                 v_depth = v_w[2]
             else:
-                xy = jnp.stack(
-                    jnp.broadcast_arrays(pc[0], pc[1]), axis=-1
-                )
-                h, n_arr = self.ground_fn(xy)
-                n = [n_arr[..., 0], n_arr[..., 1], n_arr[..., 2]]
+                cfn = getattr(self.ground_fn, "height_components", None)
+                if cfn is not None:
+                    # Elementwise terrain query — traces inside the Pallas
+                    # megakernel (heightmap evaluated per contact, on-chip)
+                    h, n = cfn(pc[0], pc[1])
+                    n = list(n)
+                else:
+                    xy = jnp.stack(
+                        jnp.broadcast_arrays(pc[0], pc[1]), axis=-1
+                    )
+                    h, n_arr = self.ground_fn(xy)
+                    n = [n_arr[..., 0], n_arr[..., 1], n_arr[..., 2]]
                 nn = jnp.sqrt(jnp.maximum(v_dot(n, n), 1e-24))
                 n = v_scale(n, 1.0 / nn)
                 depth = (pc[2] - h) * n[2]
@@ -430,7 +444,7 @@ class ComponentDynamics:
             self.pallas_tile
             and not return_contacts
             and q.ndim == 2
-            and self.ground_fn is None
+            and self._pallas_ground_ok()
         ):
             b = q.shape[0]
             for tile in (self.pallas_tile, 4096, 2048, 1024, 512, 256):
@@ -785,7 +799,7 @@ class ComponentDynamics:
         pallas_runs = {}
 
         def run(q, v, cmd):
-            if q.ndim == 2 and self.ground_fn is None:
+            if q.ndim == 2 and self._pallas_ground_ok():
                 b = q.shape[0]
                 for tile in (pallas_tile, 4096, 2048, 1024, 512, 256):
                     if tile and b % tile == 0 and tile % 128 == 0:

@@ -25,21 +25,28 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _height_with_normal(height_fn: Callable) -> Callable:
-    """Lift a scalar height function h(xy) to `f(xy) -> (h, normal)` using
-    automatic differentiation for the surface normal."""
+def _height_with_normal(height_xy: Callable) -> Callable:
+    """Lift an elementwise scalar height function `h(x, y)` to
+    `f(xy) -> (h, unit normal)` using forward-mode autodiff for the surface
+    gradient.  The lifted function also exposes `fn.height_components(x, y) ->
+    (h, (nx, ny, nz))` (normal NOT normalized) built from plain elementwise ops
+    only — no vmap/reshape — so it traces inside a Pallas kernel and the fused
+    dynamics megakernel can evaluate the terrain per contact point on-chip."""
 
-    grad_fn = jax.grad(lambda xy: height_fn(xy))
+    def components(x, y):
+        x = jnp.asarray(x)
+        y = jnp.asarray(y)
+        h, hx = jax.jvp(lambda xx: height_xy(xx, y), (x,), (jnp.ones_like(x),))
+        _, hy = jax.jvp(lambda yy: height_xy(x, yy), (y,), (jnp.ones_like(y),))
+        return h, (-hx, -hy, jnp.ones_like(h))
 
     def fn(xy):
-        batch = xy.shape[:-1]
-        flat = xy.reshape((-1, 2))
-        h = jax.vmap(height_fn)(flat).reshape(batch)
-        g = jax.vmap(grad_fn)(flat).reshape(batch + (2,))
-        n = jnp.concatenate([-g, jnp.ones(batch + (1,), xy.dtype)], axis=-1)
+        h, (nx, ny, nz) = components(xy[..., 0], xy[..., 1])
+        n = jnp.stack(jnp.broadcast_arrays(nx, ny, nz), axis=-1)
         n = n / jnp.linalg.norm(n, axis=-1, keepdims=True)
-        return h, n
+        return jnp.broadcast_to(h, xy.shape[:-1]), n
 
+    fn.height_components = components
     return fn
 
 
@@ -92,8 +99,19 @@ def _hash2(ix, iy, seed):
     return h ^ (h >> 16)
 
 
+def _u32_to_float(h, dtype):
+    """uint32 -> float, bit-identical to a direct convert (one rounding of the
+    integer value) but Mosaic-lowerable: Pallas TPU has no uint32->float cast,
+    so split 16/16, bitcast each half to int32 and recombine in float."""
+    import jax as _jax
+
+    hi = _jax.lax.bitcast_convert_type(h >> 16, jnp.int32).astype(dtype)
+    lo = _jax.lax.bitcast_convert_type(h & jnp.uint32(0xFFFF), jnp.int32).astype(dtype)
+    return hi * 65536.0 + lo
+
+
 def _gradient2(ix, iy, seed, dtype):
-    ang = _hash2(ix, iy, seed).astype(dtype) * (2.0 * np.pi / 4294967296.0)
+    ang = _u32_to_float(_hash2(ix, iy, seed), dtype) * (2.0 * np.pi / 4294967296.0)
     return jnp.cos(ang), jnp.sin(ang)
 
 
@@ -151,7 +169,7 @@ def perlin1(x, seed: int = 0):
     def grad(ix):
         # 1D "gradient": slope in [-1, 1) from the lattice hash
         h = _hash2(ix, jnp.zeros_like(ix), seed)
-        return h.astype(dtype) * (2.0 / 4294967296.0) - 1.0
+        return _u32_to_float(h, dtype) * (2.0 / 4294967296.0) - 1.0
 
     n0 = grad(ix0) * fx
     n1 = grad(ix0 + 1) * (fx - 1.0)
@@ -193,8 +211,10 @@ def perlin3(x, y, z, seed: int = 0):
     def dot_grad(ix, iy, iz, dx, dy, dz):
         # Unit gradient from two hashed angles (uniform on the sphere is not
         # required for valid Perlin noise; the lattice hash decorrelates)
-        h1 = _hash3(ix, iy, iz, seed).astype(dtype) * (2.0 * np.pi / 4294967296.0)
-        h2 = _hash3(ix, iy, iz, seed + 0x9E37) .astype(dtype) * (2.0 / 4294967296.0) - 1.0
+        h1 = _u32_to_float(_hash3(ix, iy, iz, seed), dtype) * (2.0 * np.pi / 4294967296.0)
+        h2 = _u32_to_float(
+            _hash3(ix, iy, iz, seed + 0x9E37), dtype
+        ) * (2.0 / 4294967296.0) - 1.0
         st = jnp.sqrt(jnp.maximum(1.0 - h2 * h2, 0.0))
         gx, gy, gz = st * jnp.cos(h1), st * jnp.sin(h1), h2
         return gx * dx + gy * dy + gz * dz
@@ -241,9 +261,9 @@ def periodic_stairs_ground(step_width: float, step_height: float,
     width so the normal stays well-defined (the reference returns a vertical
     normal at the discontinuity)."""
 
-    def height(xy):
+    def height(x, y):
         c, s = np.cos(orientation), np.sin(orientation)
-        u = c * xy[0] + s * xy[1]
+        u = c * x + s * y
         period = 2.0 * step_number * step_width
         phase = jnp.mod(u, period) / step_width
         up = jnp.minimum(phase, step_number)
@@ -265,9 +285,9 @@ def random_perlin_ground(wavelength: float, height_max: float, seed: int = 0,
                          octaves: int = 4) -> Callable:
     """Isotropic octave-Perlin terrain (reference `randomPerlinGround`)."""
 
-    def height(xy):
+    def height(x, y):
         return height_max * octave_perlin2(
-            xy[0] / wavelength, xy[1] / wavelength, octaves=octaves, seed=seed
+            x / wavelength, y / wavelength, octaves=octaves, seed=seed
         )
 
     return _height_with_normal(height)
@@ -278,9 +298,9 @@ def periodic_perlin_ground(wavelength: float, period: float, height_max: float,
     """Perlin terrain periodized by sampling noise on a torus embedding
     (reference `periodicPerlinGround`)."""
 
-    def height(xy):
-        tx = 2 * np.pi * xy[0] / period
-        ty = 2 * np.pi * xy[1] / period
+    def height(x, y):
+        tx = 2 * np.pi * x / period
+        ty = 2 * np.pi * y / period
         r = period / (2 * np.pi * wavelength)
         return height_max * octave_perlin2(
             r * jnp.cos(tx) + 31.7, r * jnp.sin(ty) + 17.3, octaves=octaves, seed=seed
@@ -295,9 +315,9 @@ def unidirectional_random_perlin_ground(wavelength: float, height_max: float,
     """1D Perlin ripples along a direction (reference
     `unidirectionalRandomPerlinGround`)."""
 
-    def height(xy):
+    def height(x, y):
         c, s = np.cos(orientation), np.sin(orientation)
-        u = (c * xy[0] + s * xy[1]) / wavelength
+        u = (c * x + s * y) / wavelength
         return height_max * octave_perlin2(u, jnp.zeros_like(u) + 0.5, octaves=octaves,
                                            seed=seed)
 
@@ -327,6 +347,19 @@ def sum_heightmaps(grounds: Sequence[Callable]) -> Callable:
         n = n / jnp.linalg.norm(n, axis=-1, keepdims=True)
         return h_total, n
 
+    cfns = [getattr(g, "height_components", None) for g in grounds]
+    if all(c is not None for c in cfns):
+        # All terms are elementwise — the sum is too (Pallas-safe)
+        def components(x, y):
+            h_total, gx, gy = 0.0, 0.0, 0.0
+            for c in cfns:
+                h, (nx, ny, nz) = c(x, y)
+                h_total = h_total + h
+                gx = gx + nx / nz
+                gy = gy + ny / nz
+            return h_total, (gx, gy, jnp.ones_like(h_total))
+
+        fn.height_components = components
     return fn
 
 
@@ -342,6 +375,21 @@ def merge_heightmaps(grounds: Sequence[Callable]) -> Callable:
         n_out = jnp.take_along_axis(n, idx[None, ..., None], axis=0)[0]
         return h_out, n_out
 
+    cfns = [getattr(g, "height_components", None) for g in grounds]
+    if all(c is not None for c in cfns):
+        # Pointwise max via running `where` — elementwise (Pallas-safe)
+        def components(x, y):
+            h_out, n_out = cfns[0](x, y)
+            for c in cfns[1:]:
+                h, n = c(x, y)
+                take = h > h_out
+                h_out = jnp.where(take, h, h_out)
+                n_out = tuple(
+                    jnp.where(take, a, b) for a, b in zip(n, n_out)
+                )
+            return h_out, n_out
+
+        fn.height_components = components
     return fn
 
 

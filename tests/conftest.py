@@ -19,3 +19,9 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: the fused component-wise graphs are slow to
+# compile on CPU XLA (minutes); caching makes repeat test runs fast.
+_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache_cpu")
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_CACHE))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)

@@ -144,3 +144,34 @@ def test_perlin_1d_3d_octaves():
     # lattice values are exactly zero only at integer corners of all 3 axes
     v0 = float(perlin1(jnp.asarray(2.0)))
     assert v0 == 0.0
+
+
+def test_height_components_matches_batched():
+    """Every terrain generator exposes an elementwise `height_components`
+    (traceable inside the Pallas megakernel); its height and normalized normal
+    must match the batched `fn(xy)` API exactly — including through the
+    sum/merge heightmap algebra."""
+    grounds = {
+        "stairs": terrain.periodic_stairs_ground(0.4, 0.08, 3, orientation=0.3),
+        "perlin": terrain.random_perlin_ground(1.3, 0.15, seed=11),
+        "periodic_perlin": terrain.periodic_perlin_ground(0.8, 4.0, 0.1, seed=2),
+        "unidirectional": terrain.unidirectional_random_perlin_ground(
+            1.1, 0.12, orientation=0.7, seed=9),
+    }
+    grounds["sum"] = terrain.sum_heightmaps(
+        [grounds["stairs"], grounds["perlin"]])
+    grounds["merge"] = terrain.merge_heightmaps(
+        [grounds["perlin"], grounds["periodic_perlin"]])
+    xy = jnp.asarray(np.random.default_rng(4).uniform(-3, 3, size=(64, 2)))
+    for name, g in grounds.items():
+        cfn = getattr(g, "height_components", None)
+        assert cfn is not None, name
+        h_ref, n_ref = g(xy)
+        h, n = cfn(xy[:, 0], xy[:, 1])
+        nx, ny, nz = (jnp.broadcast_to(c, h.shape) for c in n)
+        nn = jnp.sqrt(nx**2 + ny**2 + nz**2)
+        np.testing.assert_allclose(np.asarray(h), np.asarray(h_ref),
+                                   atol=1e-12, err_msg=name)
+        np.testing.assert_allclose(
+            np.asarray(jnp.stack([nx, ny, nz], -1) / nn[:, None]),
+            np.asarray(n_ref), atol=1e-9, err_msg=name)
