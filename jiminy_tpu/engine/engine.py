@@ -583,9 +583,39 @@ class Engine:
             self._period_runs[kind] = run
         return run
 
-    def _unpack_period_extras(self, extras, command, v):
+    def _get_distance_period_run(self, kind: str):
+        """Lazily-built fused period integrator for the distance-loop
+        constrained path (whole tick — substeps × RK4 stages, each a full
+        constrained solve — in one component-wise trace / one Pallas kernel
+        per env tile; see `solver.make_distance_period_integrator`)."""
+        key = "dist-" + kind
+        run = self._period_runs.get(key)
+        if run is None:
+            from jiminy_tpu.engine.solver import make_distance_period_integrator
+
+            omega = 2.0 * math.pi * self.options.contacts.stabilization_freq
+            run = make_distance_period_integrator(
+                self._cdyn_cm,
+                self._build_tau_c(),
+                self._bound_gains,
+                self.tick_period / self.n_substeps,
+                self.n_substeps,
+                kind,
+                self.cset.distance_pairs,
+                omega * omega,
+                2.0 * omega,
+                self.options.stepper.pgs_regularization,
+                self.options.stepper.pgs_iter_max,
+                n_cmd=self.robot.nmotors,
+                pallas_tile=self.options.pallas_tile,
+                imu_frames=self._imu_frames,
+            )
+            self._period_runs[key] = run
+        return run
+
+    def _unpack_period_extras(self, extras, command, v, nd: int = 0):
         """Split the fused period integrator's extras row into (a, aux) —
-        layout `[a | f_world | w_local | depth | imu]` (see
+        layout `[a | f_world | w_local | depth | imu | lam (nd)]` (see
         `ComponentDynamics.make_period_integrator`)."""
         robot = self.robot
         nv = robot.nv
@@ -604,6 +634,8 @@ class Engine:
             k = len(frames)
             raws[name] = extras[..., off : off + 6 * k].reshape(batch + (k, 6))
             off += 6 * k
+        lam = extras[..., off : off + nd] if nd else None
+        off += nd
         if robot.motors is not None and robot.motors.nmotors:
             u_motor, _ = robot.motors.compute_efforts(command, v)
         else:
@@ -615,6 +647,8 @@ class Engine:
             "contact_depth": depth,
             "sensor_raws": raws,
         }
+        if lam is not None:
+            aux["lam"] = lam
         return a, aux
 
     def _final_eval(self, t, q, v, command, carry):
@@ -837,6 +871,42 @@ class Engine:
                 state.q, state.v, command
             )
             a, aux = self._unpack_period_extras(extras, command, v)
+            new_stepper = state.stepper.replace(
+                iterations=state.stepper.iterations + self.n_substeps
+            )
+            return state.replace(q=integ.normalize(model, q), v=v), a, aux, new_stepper
+
+        # Fused distance-loop constrained path (Cassie/Digit pushrods): the
+        # whole tick of constrained solves runs as one component-wise trace /
+        # one Pallas kernel per env tile.  Warm-start lam and distance_ref ride
+        # along as extra "command" channels (constant across the tick — the
+        # same per-tick warm-start semantics as the per-stage path below).
+        cset = self.cset
+        if (
+            fused_kind is not None
+            and self._cdyn is None
+            and self._cdyn_cm is not None
+            and not self.constraint_mode
+            and self.external_force_fn is None
+            and carry.get("model") is None
+            and (
+                self.robot.flexibility is None
+                or not self.robot.flexibility.joint_indices
+            )
+            and cset.n_contacts == 0
+            and cset.n_bounds == 0
+            and cset.n_rolling == 0
+            and cset.n_distance > 0
+        ):
+            cc = jnp.concatenate(
+                [command, state.distance_ref, state.lam], axis=-1
+            )
+            q, v, extras = self._get_distance_period_run(fused_kind)(
+                state.q, state.v, cc
+            )
+            a, aux = self._unpack_period_extras(
+                extras, command, v, nd=cset.n_distance
+            )
             new_stepper = state.stepper.replace(
                 iterations=state.stepper.iterations + self.n_substeps
             )

@@ -326,6 +326,80 @@ def _ldl_solve_components(l, dinv, rhs):
     return y
 
 
+def distance_accel_components(
+    cdyn_obj,
+    qc,
+    vc,
+    tc,
+    pairs,
+    drefc,  # [nd] components
+    kp: float,
+    kd: float,
+    lamc,  # [nd] warm-start components
+    regularization: float,
+    iter_max: int,
+):
+    """Component-level core of the distance-loop constrained forward dynamics:
+    lists of (batch,) components in, `(qdd components [nv], lam components
+    [nd])` out.  Traceable inside a Pallas kernel (every op elementwise; the
+    Gauss–Seidel loop is a `fori_loop` over a tuple carry)."""
+    model = cdyn_obj.model
+    nv = model.nv
+    nd = len(pairs)
+    xs = cdyn_obj._joint_x(qc)
+    world = cdyn_obj._world_placements(xs)
+    vel, acc = cdyn_obj._vel_bias_components(xs, vc)
+    rows, drifts = cdyn_obj.distance_rows_components(
+        xs, world, vel, acc, pairs, drefc, kp, kd
+    )
+    mass = cdyn_obj.mass_matrix_components(qc, xs=xs)
+    fext_c = None
+    if cdyn_obj.contact_frames and cdyn_obj.contact_opts is not None:
+        fext_c, _, _ = cdyn_obj._contact_fext(xs, world, vel)
+    nle = cdyn_obj.nle_components(qc, vc, fext=fext_c, xs=xs)
+    l, dinv = _ldl_factor_components(mass)
+    tau_res = _ldl_solve_components(l, dinv, [tc[i] - nle[i] for i in range(nv)])
+    minv_jt = [_ldl_solve_components(l, dinv, list(rows[r])) for r in range(nd)]
+    a_c = [[None] * nd for _ in range(nd)]
+    for r in range(nd):
+        for c2 in range(nd):
+            a_c[r][c2] = sum(rows[r][k] * minv_jt[c2][k] for k in range(nv))
+    for r in range(nd):
+        a_c[r][r] = a_c[r][r] + jnp.maximum(
+            a_c[r][r] * regularization, _MIN_REGULARIZER
+        )
+    b_c = [
+        -drifts[r] - sum(rows[r][k] * tau_res[k] for k in range(nv))
+        for r in range(nd)
+    ]
+
+    # Plain Gauss–Seidel on the unbounded rows (identical update order and
+    # iteration count as `pgs_solve`; no relaxation on unbounded rows).
+    # The carry is a tuple of components with a stable common shape.
+    bshape = jnp.broadcast_shapes(
+        *[jnp.shape(x) for x in b_c], *[jnp.shape(x) for x in lamc]
+    )
+    lam0 = tuple(
+        jnp.broadcast_to(jnp.asarray(x), bshape) for x in lamc
+    )
+
+    def body(it, xs_l):
+        xs_l = list(xs_l)
+        for r in range(nd):
+            y = b_c[r]
+            for k in range(nd):
+                y = y - a_c[k][r] * xs_l[k]
+            xs_l[r] = xs_l[r] + y / a_c[r][r]
+        return tuple(jnp.broadcast_to(x, bshape) for x in xs_l)
+
+    lam_c = list(jax.lax.fori_loop(0, iter_max, body, lam0))
+    qdd_c = [
+        tau_res[k] + sum(lam_c[r] * minv_jt[r][k] for r in range(nd))
+        for k in range(nv)
+    ]
+    return qdd_c, lam_c
+
+
 def distance_constrained_dynamics_cm(
     cdyn_obj,
     q: jnp.ndarray,
@@ -351,56 +425,191 @@ def distance_constrained_dynamics_cm(
     qc = [q[..., i] for i in range(model.nq)]
     vc = [v[..., i] for i in range(nv)]
     tc = [tau[..., i] for i in range(nv)]
-    xs = cdyn_obj._joint_x(qc)
-    world = cdyn_obj._world_placements(xs)
-    vel, acc = cdyn_obj._vel_bias_components(xs, vc)
-    dref = [distance_ref[..., k] for k in range(nd)]
-    rows, drifts = cdyn_obj.distance_rows_components(
-        xs, world, vel, acc, pairs, dref, kp, kd
+    drefc = [distance_ref[..., k] for k in range(nd)]
+    lamc = [lam_warm[..., r] for r in range(nd)]
+    qdd_c, lam_c = distance_accel_components(
+        cdyn_obj, qc, vc, tc, pairs, drefc, kp, kd, lamc, regularization,
+        iter_max,
     )
-    mass = cdyn_obj.mass_matrix_components(qc, xs=xs)
-    fext_c = None
-    if cdyn_obj.contact_frames and cdyn_obj.contact_opts is not None:
-        fext_c, _, _ = cdyn_obj._contact_fext(xs, world, vel)
-    nle = cdyn_obj.nle_components(qc, vc, fext=fext_c, xs=xs)
-    l, dinv = _ldl_factor_components(mass)
-    tau_res = _ldl_solve_components(l, dinv, [tc[i] - nle[i] for i in range(nv)])
-    minv_jt = [_ldl_solve_components(l, dinv, list(rows[r])) for r in range(nd)]
-    a_c = [[None] * nd for _ in range(nd)]
-    for r in range(nd):
-        for c2 in range(nd):
-            a_c[r][c2] = sum(rows[r][k] * minv_jt[c2][k] for k in range(nv))
-    for r in range(nd):
-        a_c[r][r] = a_c[r][r] + jnp.maximum(
-            a_c[r][r] * regularization, _MIN_REGULARIZER
-        )
-    b_c = [
-        -drifts[r] - sum(rows[r][k] * tau_res[k] for k in range(nv))
-        for r in range(nd)
-    ]
-
-    # Plain Gauss–Seidel on the unbounded rows (identical update order and
-    # iteration count as `pgs_solve`; no relaxation on unbounded rows)
-    def body(it, lam_arr):
-        xs_l = [lam_arr[..., r] for r in range(nd)]
-        for r in range(nd):
-            y = b_c[r]
-            for k in range(nd):
-                y = y - a_c[k][r] * xs_l[k]
-            xs_l[r] = xs_l[r] + y / a_c[r][r]
-        return jnp.stack(xs_l, axis=-1)
-
-    lam = jax.lax.fori_loop(0, iter_max, body, lam_warm)
-    lam_c = [lam[..., r] for r in range(nd)]
-    qdd_c = [
-        tau_res[k] + sum(lam_c[r] * minv_jt[r][k] for r in range(nd))
-        for k in range(nv)
-    ]
     batch = q.shape[:-1]
     qdd = jnp.stack(
         [jnp.broadcast_to(x, batch) for x in qdd_c], axis=-1
     ).astype(dtype)
+    lam = jnp.stack(
+        [jnp.broadcast_to(x, batch) for x in lam_c], axis=-1
+    ).astype(dtype)
     return ConstrainedDynamicsResult(qdd=qdd, lam=lam)
+
+
+def make_distance_period_integrator(
+    cdyn_obj,
+    tau_c_fn,
+    bound_gains: dict,
+    dt: float,
+    n_substeps: int,
+    integrator: str,
+    pairs,
+    kp: float,
+    kd: float,
+    regularization: float,
+    iter_max: int,
+    n_cmd: int,
+    pallas_tile: int = 0,
+    imu_frames: tuple = (),
+):
+    """Fused whole-period integrator for the distance-loop constrained path
+    (Cassie/Digit): the entire engine tick — all fixed-step substeps, each RK4
+    stage a full constrained dynamics solve (FK + CRBA + LDLᵀ + Gauss–Seidel on
+    the loop rows + spring-damper contacts + penalty bounds) — runs as ONE
+    component-wise trace, and one Pallas kernel per env tile on TPU.
+
+    The kernel signature matches `ComponentDynamics.make_period_integrator`:
+    `(q, v, cc) -> (q', v', extras)` where the "command" row is extended to
+    `[motor command (n_cmd) | distance_ref (nd) | lam warm-start (nd)]` (both
+    constant across the tick — warm-start semantics are per-tick, mirroring
+    `Engine._integrate_period`'s carry) and `extras` is laid out
+    `[a (nv) | f_world (nc*3) | w_local (nc*6) | depth (nc) | imu (ni*6) |
+    lam (nd)]` with `lam` the end-of-period multipliers to carry forward.
+
+    Values match the per-stage `distance_constrained_dynamics_cm` path
+    bit-for-bit at f64 (tests/test_cdyn.py)."""
+    import numpy as np
+
+    from jiminy_tpu.ops import cdyn as cdyn_mod
+
+    model = cdyn_obj.model
+    nq, nv = model.nq, model.nv
+    nd = len(pairs)
+    nc = len(cdyn_obj.contact_frames)
+    ni = len(imu_frames)
+    n_extra = nv + nc * 10 + ni * 6 + nd
+    damping = np.asarray(model.damping, dtype=np.float64)
+
+    def u_c(qc, vc, cmd):
+        """Effective joint torque components: motor transmission − viscous
+        damping + penalty bound torques (exact mirror of the array-level
+        composition in `Engine.dynamics_full`)."""
+        tc = tau_c_fn(qc, vc, cmd)
+        tc = [
+            tc[i] - float(damping[i]) * vc[i] if damping[i] != 0.0 else tc[i]
+            for i in range(nv)
+        ]
+        for vi, entry in bound_gains.items():
+            if len(entry) == 5:
+                lo, hi, kp_b, kd_b, qi = entry
+            else:
+                lo, hi, kp_b, kd_b = entry
+                qi = vi
+            qj, vj = qc[qi], vc[vi]
+            over = jnp.maximum(qj - hi, 0.0)
+            under = jnp.maximum(lo - qj, 0.0)
+            active = (over > 0.0) | (under > 0.0)
+            tc[vi] = tc[vi] + (
+                kp_b * (under - over) - jnp.where(active, kd_b * vj, 0.0)
+            )
+        return tc
+
+    def split_cc(cc):
+        return cc[:n_cmd], cc[n_cmd : n_cmd + nd], cc[n_cmd + nd : n_cmd + 2 * nd]
+
+    def accel(qc, vc, cc):
+        cmd, drefc, lamc = split_cc(cc)
+        tc = u_c(qc, vc, cmd)
+        return distance_accel_components(
+            cdyn_obj, qc, vc, tc, pairs, drefc, kp, kd, lamc, regularization,
+            iter_max,
+        )
+
+    def final_outputs(qc, vc, cc):
+        ac, lam_c = accel(qc, vc, cc)
+        fw, wl, depth, imu = cdyn_obj._aux_components(qc, vc, ac, imu_frames)
+        extras = list(ac)
+        for r in fw:
+            extras.extend(r)
+        for r in wl:
+            extras.extend(r)
+        extras.extend(depth)
+        for r in imu:
+            extras.extend(r)
+        extras.extend(lam_c)
+        return extras
+
+    def substep(qc, vc, cc):
+        k1a, _ = accel(qc, vc, cc)
+        if integrator == "euler":
+            q_n = cdyn_obj.integrate_components(qc, [dt * x for x in vc])
+            v_n = [vc[k] + dt * k1a[k] for k in range(nv)]
+            return q_n, v_n
+        q2 = cdyn_obj.integrate_components(qc, [0.5 * dt * x for x in vc])
+        v2 = [vc[k] + 0.5 * dt * k1a[k] for k in range(nv)]
+        k2a, _ = accel(q2, v2, cc)
+        q3 = cdyn_obj.integrate_components(qc, [0.5 * dt * x for x in v2])
+        v3 = [vc[k] + 0.5 * dt * k2a[k] for k in range(nv)]
+        k3a, _ = accel(q3, v3, cc)
+        q4 = cdyn_obj.integrate_components(qc, [dt * x for x in v3])
+        v4 = [vc[k] + dt * k3a[k] for k in range(nv)]
+        k4a, _ = accel(q4, v4, cc)
+        dq = [
+            (dt / 6.0) * (vc[k] + 2.0 * v2[k] + 2.0 * v3[k] + v4[k])
+            for k in range(nv)
+        ]
+        dv = [
+            (dt / 6.0) * (k1a[k] + 2.0 * k2a[k] + 2.0 * k3a[k] + k4a[k])
+            for k in range(nv)
+        ]
+        q_n = cdyn_obj.integrate_components(qc, dq)
+        v_n = [vc[k] + dv[k] for k in range(nv)]
+        return q_n, v_n
+
+    def run_xla(q, v, cc_arr):
+        cc = [cc_arr[..., i] for i in range(cc_arr.shape[-1])]
+        batch = jnp.broadcast_shapes(q.shape[:-1], v.shape[:-1])
+
+        def stack(comps):
+            return jnp.stack(
+                [jnp.broadcast_to(x, batch) for x in comps], axis=-1
+            )
+
+        def body(carry, _):
+            qa, va = carry
+            qc = [qa[..., i] for i in range(nq)]
+            vc = [va[..., i] for i in range(nv)]
+            qo, vo = substep(qc, vc, cc)
+            return (stack(qo), stack(vo)), None
+
+        if n_substeps == 1:
+            (q_new, v_new), _ = body((q, v), None)
+        else:
+            (q_new, v_new), _ = jax.lax.scan(body, (q, v), None, length=n_substeps)
+        extras = final_outputs(
+            [q_new[..., i] for i in range(nq)],
+            [v_new[..., i] for i in range(nv)],
+            cc,
+        )
+        return q_new, v_new, stack(extras)
+
+    if not pallas_tile:
+        return run_xla
+    pallas_runs = {}
+
+    def run(q, v, cc_arr):
+        if q.ndim == 2 and cdyn_obj._pallas_ground_ok():
+            b = q.shape[0]
+            for tile in (pallas_tile, 4096, 2048, 1024, 512, 256):
+                if tile and b % tile == 0 and tile % 128 == 0:
+                    if tile not in pallas_runs:
+                        pallas_runs[tile] = cdyn_mod._pallas_period_fn(
+                            cdyn_obj,
+                            substep,
+                            n_substeps,
+                            tile=tile,
+                            final_outputs=final_outputs,
+                            n_extra=n_extra,
+                        )
+                    return pallas_runs[tile](q, v, cc_arr)
+        return run_xla(q, v, cc_arr)
+
+    return run
 
 
 def _unrolled_ldl_solve(m: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:

@@ -602,3 +602,122 @@ def test_engine_fused_sensor_parity():
     np.testing.assert_allclose(
         np.asarray(st_f.contact_forces), np.asarray(st_r.contact_forces), atol=1e-8
     )
+
+
+def test_cdyn_terrain_matches_generic():
+    """cdyn's elementwise `height_components` terrain branch (the code traced
+    inside the Pallas megakernel for non-flat ground) must match the generic
+    batched ground_fn contact path bit-for-bit at f64."""
+    from jiminy_tpu.utils import terrain
+
+    robot = build_anymal()
+    model = robot.model
+    opts = ContactOptions(stiffness=1e5, damping=2e3, friction=1.0)
+    ground = terrain.sum_heightmaps([
+        terrain.random_perlin_ground(wavelength=1.5, height_max=0.05, seed=3),
+        terrain.periodic_stairs_ground(0.4, 0.03, 3, orientation=0.5),
+    ])
+    q0 = jnp.asarray(anymal_standing_pose(model))
+    qs = jnp.tile(q0, (4, 1)).at[:, 2].add(jnp.array([-0.05, -0.02, 0.0, 0.02]))
+    qs = qs.at[:, 0].add(jnp.linspace(-1.0, 1.0, 4))
+    vs = jnp.asarray(RNG.normal(size=(4, model.nv)) * 0.5)
+    taus = jnp.asarray(RNG.normal(size=(4, model.nv)))
+    kin = forward_kinematics(model, qs, vs)
+    fext, fworld, _, _ = compute_contact_forces(
+        model, opts, ground, kin, robot.contact_frame_indices
+    )
+    ref = dyn.aba(model, GRAV, qs, vs, taus, fext)
+    cd = cdyn.ComponentDynamics(
+        model, GRAV, contact_opts=opts,
+        contact_frames=robot.contact_frame_indices, ground_fn=ground,
+    )
+    assert cd._pallas_ground_ok()
+    out, fw = cd.accel(qs, vs, taus, return_contacts=True)
+    # Touching the terrain somewhere (otherwise the test is vacuous)
+    assert float(jnp.abs(fw).max()) > 1.0
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(fw), np.asarray(fworld), atol=1e-9)
+
+
+def test_fused_distance_period_integrator_batched():
+    """The fused whole-period distance-loop integrator (one component-wise
+    trace per tick, Pallas megakernel on TPU) matches the per-stage generic
+    path on explicitly-batched states — q/v, multipliers and contact forces."""
+    from jiminy_tpu.engine import Engine, EngineOptions, Robot
+    from jiminy_tpu.engine.config import StepperOptions
+
+    model = build_model(
+        "fourbar_b",
+        [
+            {
+                "name": "j0",
+                "type": JointType.REVOLUTE,
+                "parent": -1,
+                "axis": np.array([0.0, 1.0, 0.0]),
+                "placement": (np.eye(3), np.array([0.0, 0.0, 0.6])),
+                "mass": 1.0,
+                "com": np.array([0.0, 0.0, -0.25]),
+                "inertia": np.eye(3) * 1e-3,
+                "position_limit": (np.array([-1.0]), np.array([1.0])),
+            },
+            {
+                "name": "j1",
+                "type": JointType.REVOLUTE,
+                "parent": 0,
+                "axis": np.array([0.0, 1.0, 0.0]),
+                "placement": (np.eye(3), np.array([0.0, 0.0, -0.35])),
+                "mass": 0.5,
+                "com": np.array([0.0, 0.0, -0.15]),
+                "inertia": np.eye(3) * 1e-3,
+            },
+            {
+                "name": "j2",
+                "type": JointType.REVOLUTE,
+                "parent": -1,
+                "axis": np.array([0.0, 1.0, 0.0]),
+                "placement": (np.eye(3), np.array([0.15, 0.0, 0.6])),
+                "mass": 0.5,
+                "com": np.array([0.0, 0.0, -0.15]),
+                "inertia": np.eye(3) * 1e-3,
+            },
+        ],
+        [
+            {"name": "tip_a", "parent": 1, "placement": (np.eye(3), np.array([0.0, 0.0, -0.3]))},
+            {"name": "tip_b", "parent": 2, "placement": (np.eye(3), np.array([0.0, 0.0, -0.3]))},
+            {"name": "foot", "parent": 1, "placement": (np.eye(3), np.array([0.0, 0.0, -0.32]))},
+        ],
+    )
+    robot = Robot.build(
+        model,
+        motors=[{"joint_name": "j0"}],
+        contact_frames=["foot"],
+        loop_constraints=[("tip_a", "tip_b")],
+    )
+    contact = ContactOptions(stiffness=2e4, damping=4e2, friction=1.0)
+    base = dict(
+        contacts=contact,
+        stepper=StepperOptions(dt_max=1e-3),
+        joint_bounds_mode="penalty",
+    )
+    eng_f = Engine(robot, EngineOptions(use_fast_dynamics="always", **base))
+    eng_r = Engine(robot, EngineOptions(use_fast_dynamics=False, **base))
+    B = 3
+    q0 = (
+        jnp.tile(jnp.asarray([0.4, -0.3, 0.2]), (B, 1))
+        + jnp.linspace(-0.05, 0.05, B)[:, None]
+    )
+    st_f = jax.vmap(eng_f.reset)(q0)
+    st_r = jax.vmap(eng_r.reset)(q0)
+    cmd = jnp.tile(jnp.array([2.0]), (B, 1))
+    step_f = jax.jit(eng_f.step)  # explicitly-batched
+    step_r = jax.jit(jax.vmap(lambda s: eng_r.step(s, jnp.array([2.0]))))
+    for _ in range(100):
+        st_f = step_f(st_f, cmd)
+        st_r = step_r(st_r)
+    assert "dist-rk4" in eng_f._period_runs  # the fused branch was taken
+    np.testing.assert_allclose(np.asarray(st_f.q), np.asarray(st_r.q), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(st_f.v), np.asarray(st_r.v), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(st_f.lam), np.asarray(st_r.lam), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(st_f.contact_forces), np.asarray(st_r.contact_forces), atol=1e-7
+    )
