@@ -25,8 +25,11 @@ from jiminy_tpu.engine.hardware import (
 from jiminy_tpu.engine.robot import Robot
 from jiminy_tpu.engine.state import SimState, StepperState
 from jiminy_tpu.engine.engine import Engine
+from jiminy_tpu.engine.callback import host_controller, host_force
 
 __all__ = [
+    "host_controller",
+    "host_force",
     "ContactModel",
     "ContactOptions",
     "EngineOptions",
