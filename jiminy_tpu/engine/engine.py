@@ -583,27 +583,34 @@ class Engine:
             self._period_runs[kind] = run
         return run
 
-    def _get_distance_period_run(self, kind: str):
-        """Lazily-built fused period integrator for the distance-loop
-        constrained path (whole tick — substeps × RK4 stages, each a full
-        constrained solve — in one component-wise trace / one Pallas kernel
-        per env tile; see `solver.make_distance_period_integrator`)."""
-        key = "dist-" + kind
+    def _get_constrained_period_run(self, kind: str):
+        """Lazily-built fused period integrator for the constrained path —
+        joint bounds, cone-friction contacts (CONSTRAINT contact mode) and
+        distance loops through the boxed Gauss–Seidel solve at every stage,
+        the whole tick in one component-wise trace / one Pallas kernel per
+        env tile (see `solver.make_constrained_period_integrator`)."""
+        key = "cstr-" + kind
         run = self._period_runs.get(key)
         if run is None:
-            from jiminy_tpu.engine.solver import make_distance_period_integrator
+            from jiminy_tpu.engine.solver import make_constrained_period_integrator
 
             omega = 2.0 * math.pi * self.options.contacts.stabilization_freq
-            run = make_distance_period_integrator(
+            run = make_constrained_period_integrator(
                 self._cdyn_cm,
                 self._build_tau_c(),
-                self._bound_gains,
+                # The per-stage path applies penalty bound torques only in the
+                # spring-damper branch of `dynamics_full` — mirror that.
+                {} if self.constraint_mode else self._bound_gains,
                 self.tick_period / self.n_substeps,
                 self.n_substeps,
                 kind,
-                self.cset.distance_pairs,
+                self.cset,
+                self.ground_fn if self.constraint_mode else None,
                 omega * omega,
                 2.0 * omega,
+                self.options.contacts.transition_eps,
+                self.options.contacts.friction,
+                self.options.contacts.torsion,
                 self.options.stepper.pgs_regularization,
                 self.options.stepper.pgs_iter_max,
                 n_cmd=self.robot.nmotors,
@@ -613,10 +620,12 @@ class Engine:
             self._period_runs[key] = run
         return run
 
-    def _unpack_period_extras(self, extras, command, v, nd: int = 0):
+    def _unpack_period_extras(self, extras, command, v, n_lam: int = 0,
+                              n_cact: int = 0, n_bact: int = 0):
         """Split the fused period integrator's extras row into (a, aux) —
-        layout `[a | f_world | w_local | depth | imu | lam (nd)]` (see
-        `ComponentDynamics.make_period_integrator`)."""
+        layout `[a | f_world | w_local | depth | imu | lam | cact | bact]`
+        (see `ComponentDynamics.make_period_integrator` and
+        `solver.make_constrained_period_integrator`)."""
         robot = self.robot
         nv = robot.nv
         nc = len(robot.contact_frame_indices)
@@ -634,8 +643,12 @@ class Engine:
             k = len(frames)
             raws[name] = extras[..., off : off + 6 * k].reshape(batch + (k, 6))
             off += 6 * k
-        lam = extras[..., off : off + nd] if nd else None
-        off += nd
+        lam = extras[..., off : off + n_lam] if n_lam else None
+        off += n_lam
+        cact = extras[..., off : off + n_cact] > 0.5 if n_cact else None
+        off += n_cact
+        bact = extras[..., off : off + n_bact] > 0.5 if n_bact else None
+        off += n_bact
         if robot.motors is not None and robot.motors.nmotors:
             u_motor, _ = robot.motors.compute_efforts(command, v)
         else:
@@ -649,6 +662,10 @@ class Engine:
         }
         if lam is not None:
             aux["lam"] = lam
+        if cact is not None:
+            aux["contact_active"] = cact
+        if bact is not None:
+            aux["bound_active"] = bact
         return a, aux
 
     def _final_eval(self, t, q, v, command, carry):
@@ -876,36 +893,47 @@ class Engine:
             )
             return state.replace(q=integ.normalize(model, q), v=v), a, aux, new_stepper
 
-        # Fused distance-loop constrained path (Cassie/Digit pushrods): the
-        # whole tick of constrained solves runs as one component-wise trace /
-        # one Pallas kernel per env tile.  Warm-start lam and distance_ref ride
-        # along as extra "command" channels (constant across the tick — the
-        # same per-tick warm-start semantics as the per-stage path below).
+        # Fused constrained path (joint bounds + cone-friction contacts +
+        # distance loops through the boxed Gauss–Seidel solve): the whole tick
+        # runs as one component-wise trace / one Pallas kernel per env tile.
+        # Warm-start lam, distance_ref and the active-set masks ride along as
+        # extra "command" channels (constant across the tick — the same
+        # per-tick warm-start/hysteresis semantics as the per-stage path).
         cset = self.cset
         if (
             fused_kind is not None
             and self._cdyn is None
             and self._cdyn_cm is not None
-            and not self.constraint_mode
             and self.external_force_fn is None
             and carry.get("model") is None
             and (
                 self.robot.flexibility is None
                 or not self.robot.flexibility.joint_indices
             )
-            and cset.n_contacts == 0
-            and cset.n_bounds == 0
             and cset.n_rolling == 0
-            and cset.n_distance > 0
+            and cset.total_rows > 0
         ):
+            dtype = state.q.dtype
             cc = jnp.concatenate(
-                [command, state.distance_ref, state.lam], axis=-1
+                [
+                    command,
+                    state.distance_ref,
+                    state.lam,
+                    state.contact_active.astype(dtype),
+                    state.bound_active.astype(dtype),
+                ],
+                axis=-1,
             )
-            q, v, extras = self._get_distance_period_run(fused_kind)(
+            q, v, extras = self._get_constrained_period_run(fused_kind)(
                 state.q, state.v, cc
             )
             a, aux = self._unpack_period_extras(
-                extras, command, v, nd=cset.n_distance
+                extras,
+                command,
+                v,
+                n_lam=cset.total_rows,
+                n_cact=cset.n_contacts,
+                n_bact=cset.n_bounds,
             )
             new_stepper = state.stepper.replace(
                 iterations=state.stepper.iterations + self.n_substeps

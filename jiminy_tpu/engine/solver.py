@@ -37,11 +37,12 @@ def _relaxation(iter_idx, iter_max: int):
     """Under-relaxation factor schedule (reference `constraint_solvers.cc:245-258`)."""
     denom = max(iter_max - _RELAX_MIN_ITER_NUM - _RELAX_MAX_ITER_NUM, 1)
     ratio = ((iter_max - _RELAX_MIN_ITER_NUM) - iter_idx) / denom
+    # _RELAX_SLOPE_ORDER == 2: explicit square (Mosaic cannot lower powf)
+    clipped = jnp.clip(ratio, 0.0, 1.0)
     w = jnp.where(
         ratio >= 1.0,
         _RELAX_MAX,
-        _RELAX_MIN
-        + (_RELAX_MAX - _RELAX_MIN) * jnp.clip(ratio, 0.0, 1.0) ** _RELAX_SLOPE_ORDER,
+        _RELAX_MIN + (_RELAX_MAX - _RELAX_MIN) * clipped * clipped,
     )
     return w
 
@@ -71,6 +72,22 @@ def pgs_solve(
         )
     a_c = [[A[..., i, j] for j in range(n)] for i in range(n)]
     b_c = [b[..., i] for i in range(n)]
+    lam0_c = [lam0[..., i] for i in range(n)]
+    lam_c = _pgs_sweep_components(
+        cset, a_c, b_c, lam0_c, friction, torsion, iter_max, dtype
+    )
+    return jnp.stack(lam_c, axis=-1)
+
+
+def _pgs_sweep_components(cset, a_c, b_c, lam0_c, friction, torsion, iter_max,
+                          dtype):
+    """The boxed/cone Gauss–Seidel sweep over scalar components (the shared
+    core of `pgs_solve(componentwise=True)` and the fused constrained period
+    kernels): distance + rolling rows plain GS, then bounds and the contact
+    normal/torsion/tangent levels with under-relaxation and cone projection
+    (reference `ProjectedGaussSeidelIter`, `constraint_solvers.cc:107-222`)."""
+    off_b, off_c, off_d, off_r = cset.row_offsets()
+    n = cset.total_rows
 
     def dot_col(xs, i):
         out = a_c[0][i] * xs[0]
@@ -103,7 +120,7 @@ def pgs_solve(
             i = off_c + 4 * k + 3
             iz = off_c + 4 * k + 2
             if torsion <= 0.0:
-                xs[i] = jnp.zeros_like(xs[i])
+                xs[i] = jnp.zeros_like(b_c[i])
                 continue
             y = b_c[i] - dot_col(xs, i)
             xi = xs[i] + w * y / a_c[i][i]
@@ -115,8 +132,8 @@ def pgs_solve(
             i1 = i0 + 1
             iz = i0 + 2
             if friction <= 0.0:
-                xs[i0] = jnp.zeros_like(xs[i0])
-                xs[i1] = jnp.zeros_like(xs[i1])
+                xs[i0] = jnp.zeros_like(b_c[i0])
+                xs[i1] = jnp.zeros_like(b_c[i1])
                 continue
             y0 = b_c[i0] - dot_col(xs, i0)
             y1 = b_c[i1] - dot_col(xs, i1)
@@ -132,13 +149,17 @@ def pgs_solve(
             xs[i1] = x1 * scale
         return xs
 
-    def body(it, x):
-        w = _relaxation(it, iter_max).astype(dtype)
-        xs = [x[..., i] for i in range(n)]
-        xs = sweep(xs, w)
-        return jnp.stack(xs, axis=-1)
+    bshape = jnp.broadcast_shapes(
+        *[jnp.shape(x) for x in b_c], *[jnp.shape(x) for x in lam0_c]
+    )
+    lam0_t = tuple(jnp.broadcast_to(jnp.asarray(x), bshape) for x in lam0_c)
 
-    return jax.lax.fori_loop(0, iter_max, body, lam0)
+    def body(it, xs_t):
+        w = _relaxation(it, iter_max).astype(dtype)
+        xs = sweep(list(xs_t), w)
+        return tuple(jnp.broadcast_to(x, bshape) for x in xs)
+
+    return list(jax.lax.fori_loop(0, iter_max, body, lam0_t))
 
 
 def _pgs_solve_einsum(cset, A, b, lam0, friction, torsion, iter_max,
@@ -439,6 +460,481 @@ def distance_constrained_dynamics_cm(
         [jnp.broadcast_to(x, batch) for x in lam_c], axis=-1
     ).astype(dtype)
     return ConstrainedDynamicsResult(qdd=qdd, lam=lam)
+
+
+def _normal_basis_components(n):
+    """Component mirror of `constraints._normal_basis`: right-handed basis
+    with column 2 = (already normalized) ground normal. Returns (c0, c1, n)
+    — three V3 component lists (the basis COLUMNS)."""
+    from jiminy_tpu.ops.cdyn import v_cross, v_dot, v_scale
+
+    nx, ny, nz = n
+    c1 = [jnp.zeros_like(jnp.asarray(nx) + jnp.asarray(ny)), nz, -jnp.asarray(ny)]
+    # cross(n, ex) = (0, nz, -ny); fallback cross(n, ey) = (-nz, 0, nx)
+    c1_alt = [-jnp.asarray(nz), jnp.zeros_like(jnp.asarray(nx)), nx]
+    nrm = jnp.sqrt(jnp.maximum(v_dot(c1, c1), 0.0))
+    use_alt = nrm < 1e-6
+    c1 = [jnp.where(use_alt, a, b) for a, b in zip(c1_alt, c1)]
+    nrm = jnp.sqrt(jnp.maximum(v_dot(c1, c1), 0.0))
+    c1 = v_scale(c1, 1.0 / jnp.maximum(nrm, 1e-12))
+    c0 = v_cross(c1, n)
+    return c0, c1, list(n)
+
+
+def constraint_system_components(
+    cdyn_obj,
+    cset,
+    qc,
+    vc,
+    xs,
+    world,
+    vel,
+    acc,
+    ground_fn,
+    kp: float,
+    kd: float,
+    transition_eps: float,
+    prev_cact,  # [nc] bool components
+    prev_bact,  # [nb] bool components
+    drefc,  # [nd] components
+):
+    """Component mirror of `constraints.compute_constraint_system` (bounds +
+    contact frames + distance loops; rolling constraints not supported here).
+
+    Returns `(rows [N][nv], drifts [N], basis [nc][(c0,c1,n)], depth [nc],
+    cact [nc], bact [nb])` with rows/drifts already MASKED by activity (the
+    array path masks inside `constrained_forward_dynamics`)."""
+    from jiminy_tpu.ops.cdyn import (
+        m_mv,
+        m_tv,
+        v3,
+        v_add,
+        v_cross,
+        v_dot,
+        v_scale,
+        v_sub,
+    )
+
+    model = cdyn_obj.model
+    c = cdyn_obj.c
+    nv = model.nv
+    import numpy as np
+
+    lo_all = np.asarray(model.position_limit_lower, dtype=np.float64)
+    hi_all = np.asarray(model.position_limit_upper, dtype=np.float64)
+
+    rows, drifts = [], []
+
+    # ---------------- joint bounds ----------------
+    bact = []
+    for k, j in enumerate(cset.bound_joint_indices):
+        qi, vi = model.idx_q[j], model.idx_v[j]
+        qj, vj = qc[qi], vc[vi]
+        lo, hi = float(lo_all[qi]), float(hi_all[qi])
+        over = qj > hi
+        raw = over | (qj < lo)
+        inside = (qj > lo + transition_eps) & (qj < hi - transition_eps)
+        act = raw | (prev_bact[k] & ~inside)
+        bact.append(act)
+        sign = jnp.where(over, -1.0, 1.0)
+        row = [0.0] * nv
+        row[vi] = jnp.where(act, sign, 0.0)
+        dq = qj - jnp.clip(qj, lo, hi)
+        g = sign * (kp * dq + kd * vj)
+        rows.append(row)
+        drifts.append(jnp.where(act, g, 0.0))
+
+    # ---------------- contact frames ----------------
+    basis_all, depth_all, cact = [], [], []
+    radii = cset.contact_radii or (0.0,) * cset.n_contacts
+    for k, fidx in enumerate(cset.contact_frame_indices):
+        radius = radii[k]
+        parent = c.frame_parents[fidx]
+        fp = c.fpos[fidx].tolist()
+        rw, pw = world[parent]
+        pc = v_add(m_mv(rw, fp), pw)
+        if ground_fn is None:
+            h = 0.0
+            n = [0.0, 0.0, 1.0]
+            nn = 1.0
+        else:
+            cfn = getattr(ground_fn, "height_components", None)
+            if cfn is not None:
+                h, n = cfn(pc[0], pc[1])
+                n = list(n)
+            else:
+                xy = jnp.stack(jnp.broadcast_arrays(pc[0], pc[1]), axis=-1)
+                h, n_arr = ground_fn(xy)
+                n = [n_arr[..., 0], n_arr[..., 1], n_arr[..., 2]]
+            nn = jnp.maximum(jnp.sqrt(v_dot(n, n)), 1e-12)
+        n = v_scale(n, 1.0 / nn)
+        depth = (pc[2] - h) * n[2]
+        if radius > 0.0:
+            depth = depth - radius
+        act = (depth < 0.0) | (prev_cact[k] & (depth <= transition_eps))
+        cact.append(act)
+        depth_all.append(depth)
+        c0, c1, n_col = _normal_basis_components(n)
+        basis_all.append((c0, c1, n_col))
+
+        ang_cols, lin_cols = cdyn_obj._frame_jacobian_cols(world, parent, pc)
+        # Sphere primitive: constrain the surface point at -r n̂
+        # (skewRadius = r·skew(n), reference `sphere_constraint.cc`)
+        sk = None
+        if radius > 0.0:
+            sk = [
+                [0.0, -radius * n[2], radius * n[1]],
+                [radius * n[2], 0.0, -radius * n[0]],
+                [-radius * n[1], radius * n[0], 0.0],
+            ]
+            lin_cols = {
+                d: v_add(lin_cols[d], m_mv(sk, ang_cols[d])) for d in lin_cols
+            }
+
+        # Frame world velocity/bias acceleration (mirror of the generic
+        # `compute_constraint_system` contact block)
+        w_l, v_l = vel[parent]
+        a_l = acc[parent]
+        vw_ang = m_mv(rw, w_l)
+        vw_lin = m_mv(rw, v_add(v_l, v_cross(w_l, fp)))
+        aw_ang = m_mv(rw, a_l[0])
+        aw_lin = v_add(
+            m_mv(rw, v_sub(a_l[1], v_cross(fp, a_l[0]))),
+            v_cross(vw_ang, vw_lin),
+        )
+        if sk is not None:
+            vw_lin = v_add(vw_lin, m_mv(sk, vw_ang))
+            aw_lin = v_add(aw_lin, m_mv(sk, aw_ang))
+
+        # Baumgarte: Δposition = depth·n, Δrotation = 0 (engine.cc:3182-3195)
+        g_lin = [
+            aw_lin[i] + kp * depth * n[i] + kd * vw_lin[i] for i in range(3)
+        ]
+        g_ang = [aw_ang[i] + kd * vw_ang[i] for i in range(3)]
+
+        mask = lambda x: jnp.where(act, x, 0.0)
+        for bcol in (c0, c1, n_col):  # tangent0, tangent1, normal rows
+            row = [0.0] * nv
+            for d, col in lin_cols.items():
+                row[d] = mask(v_dot(bcol, col))
+            rows.append(row)
+            drifts.append(mask(v_dot(bcol, g_lin)))
+        row = [0.0] * nv  # torsion row: normal component of the angular part
+        for d, col in ang_cols.items():
+            row[d] = mask(v_dot(n_col, col))
+        rows.append(row)
+        drifts.append(mask(v_dot(n_col, g_ang)))
+
+    # ---------------- distance loops ----------------
+    if cset.n_distance:
+        d_rows, d_drifts = cdyn_obj.distance_rows_components(
+            xs, world, vel, acc, cset.distance_pairs, drefc, kp, kd
+        )
+        rows.extend(d_rows)
+        drifts.extend(d_drifts)
+
+    return rows, drifts, basis_all, depth_all, cact, bact
+
+
+def constrained_accel_full_components(
+    cdyn_obj,
+    cset,
+    qc,
+    vc,
+    tc,
+    ground_fn,
+    kp: float,
+    kd: float,
+    transition_eps: float,
+    friction: float,
+    torsion: float,
+    regularization: float,
+    iter_max: int,
+    prev_cact,
+    prev_bact,
+    drefc,
+    lamc,
+    dtype,
+):
+    """Fully component-wise constrained forward dynamics for ANY bounds +
+    contacts + distance-loops constraint set (the general mirror of
+    `constrained_forward_dynamics` with the component CRBA/NLE/LDLᵀ fast
+    path): returns `(qdd [nv], lam [N], basis, depth, cact, bact)`."""
+    model = cdyn_obj.model
+    nv = model.nv
+    n = cset.total_rows
+    xs = cdyn_obj._joint_x(qc)
+    world = cdyn_obj._world_placements(xs)
+    vel, acc = cdyn_obj._vel_bias_components(xs, vc)
+    rows, drifts, basis, depth, cact, bact = constraint_system_components(
+        cdyn_obj, cset, qc, vc, xs, world, vel, acc, ground_fn,
+        kp, kd, transition_eps, prev_cact, prev_bact, drefc,
+    )
+    mass = cdyn_obj.mass_matrix_components(qc, xs=xs)
+    fext_c = None
+    if cdyn_obj.contact_frames and cdyn_obj.contact_opts is not None:
+        # Spring-damper ground contacts (bounds/loops-through-PGS mode)
+        fext_c, _, _ = cdyn_obj._contact_fext(xs, world, vel)
+    nle = cdyn_obj.nle_components(qc, vc, fext=fext_c, xs=xs)
+    l, dinv = _ldl_factor_components(mass)
+    tau_res = _ldl_solve_components(l, dinv, [tc[i] - nle[i] for i in range(nv)])
+    minv_jt = [_ldl_solve_components(l, dinv, list(rows[r])) for r in range(n)]
+    a_c = [[None] * n for _ in range(n)]
+    for r in range(n):
+        for c2 in range(r, n):
+            val = sum(rows[r][k] * minv_jt[c2][k] for k in range(nv))
+            a_c[r][c2] = val
+            if c2 != r:
+                a_c[c2][r] = val
+    for r in range(n):
+        a_c[r][r] = a_c[r][r] + jnp.maximum(
+            a_c[r][r] * regularization, _MIN_REGULARIZER
+        )
+    b_c = [
+        -drifts[r] - sum(rows[r][k] * tau_res[k] for k in range(nv))
+        for r in range(n)
+    ]
+    # Warm start masked by row activity (inactive rows -> zero force)
+    act_of_row = []
+    act_of_row += list(bact)
+    for k in range(cset.n_contacts):
+        act_of_row += [cact[k]] * 4
+    act_of_row += [None] * cset.n_distance  # always active
+    lam0 = [
+        lamc[r] if act_of_row[r] is None else jnp.where(act_of_row[r], lamc[r], 0.0)
+        for r in range(n)
+    ]
+    lam = _pgs_sweep_components(
+        cset, a_c, b_c, lam0, friction, torsion, iter_max, dtype
+    )
+    qdd = [
+        tau_res[k] + sum(lam[r] * minv_jt[r][k] for r in range(n))
+        for k in range(nv)
+    ]
+    return qdd, lam, basis, depth, cact, bact
+
+
+def make_constrained_period_integrator(
+    cdyn_obj,
+    tau_c_fn,
+    bound_gains: dict,
+    dt: float,
+    n_substeps: int,
+    integrator: str,
+    cset,
+    ground_fn,
+    kp: float,
+    kd: float,
+    transition_eps: float,
+    friction: float,
+    torsion: float,
+    regularization: float,
+    iter_max: int,
+    n_cmd: int,
+    pallas_tile: int = 0,
+    imu_frames: tuple = (),
+):
+    """Fused whole-period integrator for the GENERAL constrained path: joint
+    bounds, friction-cone ground contacts (CONSTRAINT contact mode) and
+    distance loop closures all solved by the boxed/cone Gauss–Seidel sweep at
+    every integrator stage — the entire engine tick as one component-wise
+    trace, one Pallas kernel per env tile on TPU (supersedes the
+    distance-loops-only `make_distance_period_integrator`).
+
+    Kernel signature: `(q, v, cc) -> (q', v', extras)` with the "command" row
+    `[motor command (n_cmd) | distance_ref (nd) | lam warm (N) | contact
+    active (nc) | bound active (nb)]` (all constant across the tick: per-tick
+    warm-start/hysteresis semantics, mirroring the per-stage path) and extras
+    `[a (nv) | f_world (nc*3) | w_local (nc*6) | depth (nc) | imu (ni*6) |
+    lam (N) | cact (nc) | bact (nb)]` from the end-of-period solve."""
+    import numpy as np
+
+    from jiminy_tpu.ops import cdyn as cdyn_mod
+    from jiminy_tpu.ops.cdyn import m_mv, m_tv, v3, v_add, v_scale
+
+    if cset.n_rolling:
+        raise ValueError("rolling constraints not supported in the fused path")
+    model = cdyn_obj.model
+    nq, nv = model.nq, model.nv
+    nd = cset.n_distance
+    nb = cset.n_bounds
+    nc = cset.n_contacts
+    n = cset.total_rows
+    ni = len(imu_frames)
+    in_constraint_contact = nc > 0
+    n_extra = nv + nc * 10 + ni * 6 + n + nc + nb
+    damping = np.asarray(model.damping, dtype=np.float64)
+    c = cdyn_obj.c
+
+    def u_c(qc, vc, cmd):
+        tc = tau_c_fn(qc, vc, cmd)
+        tc = [
+            tc[i] - float(damping[i]) * vc[i] if damping[i] != 0.0 else tc[i]
+            for i in range(nv)
+        ]
+        for vi, entry in bound_gains.items():
+            if len(entry) == 5:
+                lo, hi, kp_b, kd_b, qi = entry
+            else:
+                lo, hi, kp_b, kd_b = entry
+                qi = vi
+            qj, vj = qc[qi], vc[vi]
+            over = jnp.maximum(qj - hi, 0.0)
+            under = jnp.maximum(lo - qj, 0.0)
+            active = (over > 0.0) | (under > 0.0)
+            tc[vi] = tc[vi] + (
+                kp_b * (under - over) - jnp.where(active, kd_b * vj, 0.0)
+            )
+        return tc
+
+    def split_cc(cc):
+        cmd = cc[:n_cmd]
+        off = n_cmd
+        drefc = cc[off : off + nd]
+        off += nd
+        lamc = cc[off : off + n]
+        off += n
+        cactc = [x > 0.5 for x in cc[off : off + nc]]
+        off += nc
+        bactc = [x > 0.5 for x in cc[off : off + nb]]
+        return cmd, drefc, lamc, cactc, bactc
+
+    def accel(qc, vc, cc, dtype):
+        cmd, drefc, lamc, cactc, bactc = split_cc(cc)
+        tc = u_c(qc, vc, cmd)
+        return constrained_accel_full_components(
+            cdyn_obj, cset, qc, vc, tc, ground_fn, kp, kd, transition_eps,
+            friction, torsion, regularization, iter_max,
+            cactc, bactc, drefc, lamc, dtype,
+        )
+
+    def final_outputs(qc, vc, cc):
+        dtype = jnp.result_type(*(qc + vc))
+        ac, lam, basis, depth, cact, bact = accel(qc, vc, cc, dtype)
+        fw_aux, wl_aux, depth_aux, imu = cdyn_obj._aux_components(
+            qc, vc, ac, imu_frames
+        )
+        extras = list(ac)
+        if in_constraint_contact:
+            # Contact forces from the multipliers in the normal basis
+            # (reference write-back, engine.cc:3770-3857)
+            off_b, off_c, _, _ = cset.row_offsets()
+            xs = cdyn_obj._joint_x(qc)
+            world = cdyn_obj._world_placements(xs)
+            fw_rows, wl_rows = [], []
+            for k, fidx in enumerate(cset.contact_frame_indices):
+                c0, c1, n_col = basis[k]
+                lam_b = lam[off_c + 4 * k : off_c + 4 * k + 4]
+                f_w = [
+                    c0[i] * lam_b[0] + c1[i] * lam_b[1] + n_col[i] * lam_b[2]
+                    for i in range(3)
+                ]
+                n_w = [n_col[i] * lam_b[3] for i in range(3)]
+                parent = c.frame_parents[fidx]
+                rw, _ = world[parent]
+                frot = c.frot[fidx].tolist()
+                f_l = m_tv(frot, m_tv(rw, f_w))
+                n_l = m_tv(frot, m_tv(rw, n_w))
+                fw_rows.append(f_w)
+                wl_rows.append([*n_l, *f_l])
+            for r in fw_rows:
+                extras.extend(r)
+            for r in wl_rows:
+                extras.extend(r)
+            extras.extend(depth)
+        else:
+            for r in fw_aux:
+                extras.extend(r)
+            for r in wl_aux:
+                extras.extend(r)
+            extras.extend(depth_aux)
+        for r in imu:
+            extras.extend(r)
+        extras.extend(lam)
+        extras.extend([jnp.where(a, 1.0, 0.0) for a in cact])
+        extras.extend([jnp.where(a, 1.0, 0.0) for a in bact])
+        return extras
+
+    def substep(qc, vc, cc):
+        dtype = jnp.result_type(*(qc + vc))
+        k1a = accel(qc, vc, cc, dtype)[0]
+        if integrator == "euler":
+            q_n = cdyn_obj.integrate_components(qc, [dt * x for x in vc])
+            v_n = [vc[k] + dt * k1a[k] for k in range(nv)]
+            return q_n, v_n
+        q2 = cdyn_obj.integrate_components(qc, [0.5 * dt * x for x in vc])
+        v2 = [vc[k] + 0.5 * dt * k1a[k] for k in range(nv)]
+        k2a = accel(q2, v2, cc, dtype)[0]
+        q3 = cdyn_obj.integrate_components(qc, [0.5 * dt * x for x in v2])
+        v3_ = [vc[k] + 0.5 * dt * k2a[k] for k in range(nv)]
+        k3a = accel(q3, v3_, cc, dtype)[0]
+        q4 = cdyn_obj.integrate_components(qc, [dt * x for x in v3_])
+        v4 = [vc[k] + dt * k3a[k] for k in range(nv)]
+        k4a = accel(q4, v4, cc, dtype)[0]
+        dq = [
+            (dt / 6.0) * (vc[k] + 2.0 * v2[k] + 2.0 * v3_[k] + v4[k])
+            for k in range(nv)
+        ]
+        dv = [
+            (dt / 6.0) * (k1a[k] + 2.0 * k2a[k] + 2.0 * k3a[k] + k4a[k])
+            for k in range(nv)
+        ]
+        q_n = cdyn_obj.integrate_components(qc, dq)
+        v_n = [vc[k] + dv[k] for k in range(nv)]
+        return q_n, v_n
+
+    def run_xla(q, v, cc_arr):
+        cc = [cc_arr[..., i] for i in range(cc_arr.shape[-1])]
+        batch = jnp.broadcast_shapes(q.shape[:-1], v.shape[:-1])
+
+        def stack(comps):
+            return jnp.stack(
+                [jnp.broadcast_to(x, batch) for x in comps], axis=-1
+            )
+
+        def body(carry, _):
+            qa, va = carry
+            qc = [qa[..., i] for i in range(nq)]
+            vc = [va[..., i] for i in range(nv)]
+            qo, vo = substep(qc, vc, cc)
+            return (stack(qo), stack(vo)), None
+
+        if n_substeps == 1:
+            (q_new, v_new), _ = body((q, v), None)
+        else:
+            (q_new, v_new), _ = jax.lax.scan(body, (q, v), None, length=n_substeps)
+        extras = final_outputs(
+            [q_new[..., i] for i in range(nq)],
+            [v_new[..., i] for i in range(nv)],
+            cc,
+        )
+        return q_new, v_new, stack(extras)
+
+    if not pallas_tile:
+        return run_xla
+    pallas_runs = {}
+
+    def run(q, v, cc_arr):
+        if q.ndim == 2 and cdyn_obj._pallas_ground_ok() and (
+            ground_fn is None
+            or getattr(ground_fn, "height_components", None) is not None
+        ):
+            b = q.shape[0]
+            for tile in (pallas_tile, 4096, 2048, 1024, 512, 256):
+                if tile and b % tile == 0 and tile % 128 == 0:
+                    if tile not in pallas_runs:
+                        pallas_runs[tile] = cdyn_mod._pallas_period_fn(
+                            cdyn_obj,
+                            substep,
+                            n_substeps,
+                            tile=tile,
+                            final_outputs=final_outputs,
+                            n_extra=n_extra,
+                        )
+                    return pallas_runs[tile](q, v, cc_arr)
+        return run_xla(q, v, cc_arr)
+
+    return run
 
 
 def make_distance_period_integrator(

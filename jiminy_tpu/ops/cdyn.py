@@ -1568,6 +1568,38 @@ class _ConstraintMixin:
                 cols[vi] = m_mv(rw, ax)
         return cols
 
+    def _frame_jacobian_cols(self, world, joint, pf):
+        """World-aligned frame Jacobian columns at the point `pf` (world V3
+        components): `(ang_cols, lin_cols)`, each a {vdof: V3} dict — the
+        component mirror of `ops.kinematics.frame_jacobian_world_aligned`
+        (angular rows) + the linear point Jacobian of `_point_jacobian_cols`."""
+        c = self.c
+        ang, lin = {}, {}
+        for j in self._ancestors(joint):
+            rw, pw = world[j]
+            vi = c.idx_v[j]
+            if c.types[j] == jt.JointType.FREE:
+                for k in range(3):  # translational dofs
+                    lin[vi + k] = [rw[0][k], rw[1][k], rw[2][k]]
+                    ang[vi + k] = v3()
+                for k in range(3):  # rotational dofs
+                    axis_w = [rw[0][k], rw[1][k], rw[2][k]]
+                    ang[vi + 3 + k] = axis_w
+                    lin[vi + 3 + k] = v_cross(axis_w, v_sub(pf, pw))
+            elif c.types[j] == jt.JointType.SPHERICAL:
+                for k in range(3):
+                    axis_w = [rw[0][k], rw[1][k], rw[2][k]]
+                    ang[vi + k] = axis_w
+                    lin[vi + k] = v_cross(axis_w, v_sub(pf, pw))
+            elif c.types[j] == jt.JointType.REVOLUTE:
+                axis_w = m_mv(rw, c.axis[j].tolist())
+                ang[vi] = axis_w
+                lin[vi] = v_cross(axis_w, v_sub(pf, pw))
+            else:  # PRISMATIC
+                ang[vi] = v3()
+                lin[vi] = m_mv(rw, c.axis[j].tolist())
+        return ang, lin
+
     def distance_rows_components(self, xs, world, vel, acc, pairs, dist_ref,
                                  kp: float, kd: float):
         """Jacobian rows + Baumgarte drifts of the distance-loop constraints
@@ -1620,6 +1652,7 @@ ComponentDynamics.nle_components = _CRBAMixin.nle_components
 ComponentDynamics._vel_bias_components = _ConstraintMixin._vel_bias_components
 ComponentDynamics._ancestors = _ConstraintMixin._ancestors
 ComponentDynamics._point_jacobian_cols = _ConstraintMixin._point_jacobian_cols
+ComponentDynamics._frame_jacobian_cols = _ConstraintMixin._frame_jacobian_cols
 ComponentDynamics.distance_rows_components = (
     _ConstraintMixin.distance_rows_components
 )

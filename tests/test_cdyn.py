@@ -714,10 +714,107 @@ def test_fused_distance_period_integrator_batched():
     for _ in range(100):
         st_f = step_f(st_f, cmd)
         st_r = step_r(st_r)
-    assert "dist-rk4" in eng_f._period_runs  # the fused branch was taken
+    assert any(
+        k in eng_f._period_runs for k in ("cstr-rk4", "dist-rk4")
+    )  # the fused branch was taken
     np.testing.assert_allclose(np.asarray(st_f.q), np.asarray(st_r.q), atol=1e-9)
     np.testing.assert_allclose(np.asarray(st_f.v), np.asarray(st_r.v), atol=1e-8)
     np.testing.assert_allclose(np.asarray(st_f.lam), np.asarray(st_r.lam), atol=1e-6)
     np.testing.assert_allclose(
         np.asarray(st_f.contact_forces), np.asarray(st_r.contact_forces), atol=1e-7
     )
+
+
+def test_fused_constraint_contact_mode_matches_generic():
+    """CONSTRAINT contact mode (the reference's default contact model) on the
+    fused whole-period path: cone-friction contact rows + joint bound rows +
+    a distance loop through the boxed Gauss-Seidel solve must match the
+    generic array path — q/v, multipliers, active sets and reported contact
+    forces."""
+    from jiminy_tpu.engine import Engine, EngineOptions, Robot
+    from jiminy_tpu.engine.config import ContactModel, StepperOptions
+
+    model = build_model(
+        "fourbar_cc",
+        [
+            {
+                "name": "j0",
+                "type": JointType.REVOLUTE,
+                "parent": -1,
+                "axis": np.array([0.0, 1.0, 0.0]),
+                "placement": (np.eye(3), np.array([0.0, 0.0, 0.6])),
+                "mass": 1.0,
+                "com": np.array([0.0, 0.0, -0.25]),
+                "inertia": np.eye(3) * 1e-3,
+                "position_limit": (np.array([-1.2]), np.array([1.2])),
+            },
+            {
+                "name": "j1",
+                "type": JointType.REVOLUTE,
+                "parent": 0,
+                "axis": np.array([0.0, 1.0, 0.0]),
+                "placement": (np.eye(3), np.array([0.0, 0.0, -0.35])),
+                "mass": 0.5,
+                "com": np.array([0.0, 0.0, -0.15]),
+                "inertia": np.eye(3) * 1e-3,
+            },
+            {
+                "name": "j2",
+                "type": JointType.REVOLUTE,
+                "parent": -1,
+                "axis": np.array([0.0, 1.0, 0.0]),
+                "placement": (np.eye(3), np.array([0.15, 0.0, 0.6])),
+                "mass": 0.5,
+                "com": np.array([0.0, 0.0, -0.15]),
+                "inertia": np.eye(3) * 1e-3,
+            },
+        ],
+        [
+            {"name": "tip_a", "parent": 1, "placement": (np.eye(3), np.array([0.0, 0.0, -0.3]))},
+            {"name": "tip_b", "parent": 2, "placement": (np.eye(3), np.array([0.0, 0.0, -0.3]))},
+            {"name": "foot", "parent": 1, "placement": (np.eye(3), np.array([0.0, 0.0, -0.32]))},
+        ],
+    )
+    robot = Robot.build(
+        model,
+        motors=[{"joint_name": "j0"}],
+        contact_frames=["foot"],
+        loop_constraints=[("tip_a", "tip_b")],
+    )
+    contact = ContactOptions(
+        model=ContactModel.CONSTRAINT, friction=0.8, torsion=0.1,
+        transition_eps=1e-3,
+    )
+    base = dict(
+        contacts=contact,
+        stepper=StepperOptions(dt_max=1e-3),
+        joint_bounds_mode="constraint",
+    )
+    eng_f = Engine(robot, EngineOptions(use_fast_dynamics="always", **base))
+    eng_r = Engine(robot, EngineOptions(use_fast_dynamics=False, **base))
+    assert eng_f.constraint_mode and eng_f._cdyn_cm is not None
+    assert eng_f.cset.n_contacts == 1 and eng_f.cset.n_bounds == 1
+    assert eng_f.cset.n_distance == 1
+    q0 = jnp.asarray([0.4, -0.3, 0.2])
+    st_f, st_r = eng_f.reset(q0), eng_r.reset(q0)
+    step_f, step_r = jax.jit(eng_f.step), jax.jit(eng_r.step)
+    for _ in range(300):
+        st_f = step_f(st_f, jnp.array([2.0]))
+        st_r = step_r(st_r, jnp.array([2.0]))
+    assert "cstr-rk4" in eng_f._period_runs  # the fused branch was taken
+    assert np.isfinite(np.asarray(st_f.q)).all()
+    np.testing.assert_allclose(np.asarray(st_f.q), np.asarray(st_r.q), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(st_f.v), np.asarray(st_r.v), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(st_f.lam), np.asarray(st_r.lam), atol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(st_f.contact_active), np.asarray(st_r.contact_active)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(st_f.bound_active), np.asarray(st_r.bound_active)
+    )
+    np.testing.assert_allclose(
+        np.asarray(st_f.contact_forces), np.asarray(st_r.contact_forces),
+        atol=1e-6,
+    )
+    # The foot actually touched the ground at some point during the swing
+    assert float(jnp.abs(st_f.lam).max()) > 0.0
