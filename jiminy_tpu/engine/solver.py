@@ -738,8 +738,7 @@ def make_constrained_period_integrator(
     bounds, friction-cone ground contacts (CONSTRAINT contact mode) and
     distance loop closures all solved by the boxed/cone Gauss–Seidel sweep at
     every integrator stage — the entire engine tick as one component-wise
-    trace, one Pallas kernel per env tile on TPU (supersedes the
-    distance-loops-only `make_distance_period_integrator`).
+    trace, one Pallas kernel per env tile on TPU.
 
     Kernel signature: `(q, v, cc) -> (q', v', extras)` with the "command" row
     `[motor command (n_cmd) | distance_ref (nd) | lam warm (N) | contact
@@ -919,177 +918,6 @@ def make_constrained_period_integrator(
             ground_fn is None
             or getattr(ground_fn, "height_components", None) is not None
         ):
-            b = q.shape[0]
-            for tile in (pallas_tile, 4096, 2048, 1024, 512, 256):
-                if tile and b % tile == 0 and tile % 128 == 0:
-                    if tile not in pallas_runs:
-                        pallas_runs[tile] = cdyn_mod._pallas_period_fn(
-                            cdyn_obj,
-                            substep,
-                            n_substeps,
-                            tile=tile,
-                            final_outputs=final_outputs,
-                            n_extra=n_extra,
-                        )
-                    return pallas_runs[tile](q, v, cc_arr)
-        return run_xla(q, v, cc_arr)
-
-    return run
-
-
-def make_distance_period_integrator(
-    cdyn_obj,
-    tau_c_fn,
-    bound_gains: dict,
-    dt: float,
-    n_substeps: int,
-    integrator: str,
-    pairs,
-    kp: float,
-    kd: float,
-    regularization: float,
-    iter_max: int,
-    n_cmd: int,
-    pallas_tile: int = 0,
-    imu_frames: tuple = (),
-):
-    """Fused whole-period integrator for the distance-loop constrained path
-    (Cassie/Digit): the entire engine tick — all fixed-step substeps, each RK4
-    stage a full constrained dynamics solve (FK + CRBA + LDLᵀ + Gauss–Seidel on
-    the loop rows + spring-damper contacts + penalty bounds) — runs as ONE
-    component-wise trace, and one Pallas kernel per env tile on TPU.
-
-    The kernel signature matches `ComponentDynamics.make_period_integrator`:
-    `(q, v, cc) -> (q', v', extras)` where the "command" row is extended to
-    `[motor command (n_cmd) | distance_ref (nd) | lam warm-start (nd)]` (both
-    constant across the tick — warm-start semantics are per-tick, mirroring
-    `Engine._integrate_period`'s carry) and `extras` is laid out
-    `[a (nv) | f_world (nc*3) | w_local (nc*6) | depth (nc) | imu (ni*6) |
-    lam (nd)]` with `lam` the end-of-period multipliers to carry forward.
-
-    Values match the per-stage `distance_constrained_dynamics_cm` path
-    bit-for-bit at f64 (tests/test_cdyn.py)."""
-    import numpy as np
-
-    from jiminy_tpu.ops import cdyn as cdyn_mod
-
-    model = cdyn_obj.model
-    nq, nv = model.nq, model.nv
-    nd = len(pairs)
-    nc = len(cdyn_obj.contact_frames)
-    ni = len(imu_frames)
-    n_extra = nv + nc * 10 + ni * 6 + nd
-    damping = np.asarray(model.damping, dtype=np.float64)
-
-    def u_c(qc, vc, cmd):
-        """Effective joint torque components: motor transmission − viscous
-        damping + penalty bound torques (exact mirror of the array-level
-        composition in `Engine.dynamics_full`)."""
-        tc = tau_c_fn(qc, vc, cmd)
-        tc = [
-            tc[i] - float(damping[i]) * vc[i] if damping[i] != 0.0 else tc[i]
-            for i in range(nv)
-        ]
-        for vi, entry in bound_gains.items():
-            if len(entry) == 5:
-                lo, hi, kp_b, kd_b, qi = entry
-            else:
-                lo, hi, kp_b, kd_b = entry
-                qi = vi
-            qj, vj = qc[qi], vc[vi]
-            over = jnp.maximum(qj - hi, 0.0)
-            under = jnp.maximum(lo - qj, 0.0)
-            active = (over > 0.0) | (under > 0.0)
-            tc[vi] = tc[vi] + (
-                kp_b * (under - over) - jnp.where(active, kd_b * vj, 0.0)
-            )
-        return tc
-
-    def split_cc(cc):
-        return cc[:n_cmd], cc[n_cmd : n_cmd + nd], cc[n_cmd + nd : n_cmd + 2 * nd]
-
-    def accel(qc, vc, cc):
-        cmd, drefc, lamc = split_cc(cc)
-        tc = u_c(qc, vc, cmd)
-        return distance_accel_components(
-            cdyn_obj, qc, vc, tc, pairs, drefc, kp, kd, lamc, regularization,
-            iter_max,
-        )
-
-    def final_outputs(qc, vc, cc):
-        ac, lam_c = accel(qc, vc, cc)
-        fw, wl, depth, imu = cdyn_obj._aux_components(qc, vc, ac, imu_frames)
-        extras = list(ac)
-        for r in fw:
-            extras.extend(r)
-        for r in wl:
-            extras.extend(r)
-        extras.extend(depth)
-        for r in imu:
-            extras.extend(r)
-        extras.extend(lam_c)
-        return extras
-
-    def substep(qc, vc, cc):
-        k1a, _ = accel(qc, vc, cc)
-        if integrator == "euler":
-            q_n = cdyn_obj.integrate_components(qc, [dt * x for x in vc])
-            v_n = [vc[k] + dt * k1a[k] for k in range(nv)]
-            return q_n, v_n
-        q2 = cdyn_obj.integrate_components(qc, [0.5 * dt * x for x in vc])
-        v2 = [vc[k] + 0.5 * dt * k1a[k] for k in range(nv)]
-        k2a, _ = accel(q2, v2, cc)
-        q3 = cdyn_obj.integrate_components(qc, [0.5 * dt * x for x in v2])
-        v3 = [vc[k] + 0.5 * dt * k2a[k] for k in range(nv)]
-        k3a, _ = accel(q3, v3, cc)
-        q4 = cdyn_obj.integrate_components(qc, [dt * x for x in v3])
-        v4 = [vc[k] + dt * k3a[k] for k in range(nv)]
-        k4a, _ = accel(q4, v4, cc)
-        dq = [
-            (dt / 6.0) * (vc[k] + 2.0 * v2[k] + 2.0 * v3[k] + v4[k])
-            for k in range(nv)
-        ]
-        dv = [
-            (dt / 6.0) * (k1a[k] + 2.0 * k2a[k] + 2.0 * k3a[k] + k4a[k])
-            for k in range(nv)
-        ]
-        q_n = cdyn_obj.integrate_components(qc, dq)
-        v_n = [vc[k] + dv[k] for k in range(nv)]
-        return q_n, v_n
-
-    def run_xla(q, v, cc_arr):
-        cc = [cc_arr[..., i] for i in range(cc_arr.shape[-1])]
-        batch = jnp.broadcast_shapes(q.shape[:-1], v.shape[:-1])
-
-        def stack(comps):
-            return jnp.stack(
-                [jnp.broadcast_to(x, batch) for x in comps], axis=-1
-            )
-
-        def body(carry, _):
-            qa, va = carry
-            qc = [qa[..., i] for i in range(nq)]
-            vc = [va[..., i] for i in range(nv)]
-            qo, vo = substep(qc, vc, cc)
-            return (stack(qo), stack(vo)), None
-
-        if n_substeps == 1:
-            (q_new, v_new), _ = body((q, v), None)
-        else:
-            (q_new, v_new), _ = jax.lax.scan(body, (q, v), None, length=n_substeps)
-        extras = final_outputs(
-            [q_new[..., i] for i in range(nq)],
-            [v_new[..., i] for i in range(nv)],
-            cc,
-        )
-        return q_new, v_new, stack(extras)
-
-    if not pallas_tile:
-        return run_xla
-    pallas_runs = {}
-
-    def run(q, v, cc_arr):
-        if q.ndim == 2 and cdyn_obj._pallas_ground_ok():
             b = q.shape[0]
             for tile in (pallas_tile, 4096, 2048, 1024, 512, 256):
                 if tile and b % tile == 0 and tile % 128 == 0:
