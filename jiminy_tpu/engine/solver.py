@@ -761,7 +761,10 @@ def make_constrained_period_integrator(
     n = cset.total_rows
     ni = len(imu_frames)
     in_constraint_contact = nc > 0
-    n_extra = nv + nc * 10 + ni * 6 + n + nc + nb
+    # Contact outputs: constraint-mode contacts come from the multipliers,
+    # spring-damper contacts from `_aux_components` — exactly one is nonzero.
+    nc_out = nc + len(cdyn_obj.contact_frames)
+    n_extra = nv + nc_out * 10 + ni * 6 + n + nc + nb
     damping = np.asarray(model.damping, dtype=np.float64)
     c = cdyn_obj.c
 

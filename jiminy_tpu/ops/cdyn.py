@@ -1240,6 +1240,9 @@ def _pallas_period_fn(cd: "ComponentDynamics", substep, n_substeps: int,
             vo_ref[0, i] = tile_of(vs[i])
         if with_outputs:
             extras = final_outputs(list(qs), list(vs), cc)
+            assert len(extras) == n_extra, (
+                f"extras layout mismatch: {len(extras)} != {n_extra}"
+            )
             eo_ref = extra_refs[0]
             for i in range(n_extra):
                 eo_ref[0, i] = tile_of(extras[i])
