@@ -414,42 +414,84 @@ class Engine:
             self._cdyn_cm is not None
             and (fext is None or contacts_in_fext)
             and (carry is None or carry.get("model") is None)
-            and cset.n_contacts == 0
-            and cset.n_bounds == 0
             and cset.n_rolling == 0
-            and cset.n_distance > 0
+            and cset.total_rows > 0
         ):
-            # Distance-loops-only fast path: the whole constrained dynamics is
-            # component-wise (no generic FK/Jacobian) — see
-            # `solver.distance_constrained_dynamics_cm`
+            # Fully component-wise constrained dynamics (no generic
+            # FK/Jacobian): bounds + cone contacts + distance loops — see
+            # `solver.constrained_accel_full_components`
             import math as _math
 
-            from jiminy_tpu.engine.solver import distance_constrained_dynamics_cm
+            from jiminy_tpu.engine.solver import (
+                constrained_accel_full_components,
+            )
 
             omega = 2.0 * _math.pi * self.options.contacts.stabilization_freq
-            res = distance_constrained_dynamics_cm(
-                self._cdyn_cm,
-                q,
-                v,
-                u,
-                cset.distance_pairs,
-                carry["distance_ref"],
-                omega * omega,
-                2.0 * omega,
-                carry["lam"],
-                self.options.stepper.pgs_regularization,
-                self.options.stepper.pgs_iter_max,
+            nv = model.nv
+            qc = [q[..., i] for i in range(model.nq)]
+            vc = [v[..., i] for i in range(nv)]
+            tc = [u[..., i] for i in range(nv)]
+            cactc = [carry["contact_active"][..., k] for k in range(cset.n_contacts)]
+            bactc = [carry["bound_active"][..., k] for k in range(cset.n_bounds)]
+            drefc = [carry["distance_ref"][..., k] for k in range(cset.n_distance)]
+            lamc = [carry["lam"][..., r] for r in range(cset.total_rows)]
+            qdd_c, lam_c, basis, depth, cact, bact = (
+                constrained_accel_full_components(
+                    self._cdyn_cm, cset, qc, vc, tc,
+                    self.ground_fn if self.constraint_mode else None,
+                    omega * omega, 2.0 * omega,
+                    self.options.contacts.transition_eps,
+                    self.options.contacts.friction,
+                    self.options.contacts.torsion,
+                    self.options.stepper.pgs_regularization,
+                    self.options.stepper.pgs_iter_max,
+                    cactc, bactc, drefc, lamc, q.dtype,
+                )
             )
+
+            def stack(comps, dtype=q.dtype):
+                return (
+                    jnp.stack(
+                        [jnp.broadcast_to(x, batch) for x in comps], axis=-1
+                    ).astype(dtype)
+                    if comps
+                    else jnp.zeros(batch + (0,), dtype)
+                )
+
+            nc = cset.n_contacts
+            if nc:
+                # basis[k] = (c0, c1, n) columns -> (..., nc, 3, 3)
+                cols = []
+                for k in range(nc):
+                    c0, c1, n_col = basis[k]
+                    mat = jnp.stack(
+                        [
+                            jnp.stack(
+                                [jnp.broadcast_to(x, batch) for x in col],
+                                axis=-1,
+                            )
+                            for col in (c0, c1, n_col)
+                        ],
+                        axis=-1,
+                    )  # (..., 3 rows, 3 cols)
+                    cols.append(mat)
+                contact_basis = jnp.stack(cols, axis=-3).astype(q.dtype)
+            else:
+                contact_basis = jnp.zeros(batch + (0, 3, 3), q.dtype)
             csys = ConstraintSystem(
-                jac=jnp.zeros(batch + (cset.total_rows, model.nv), q.dtype),
+                jac=jnp.zeros(batch + (cset.total_rows, nv), q.dtype),
                 drift=jnp.zeros(batch + (cset.total_rows,), q.dtype),
                 active=jnp.ones(batch + (cset.total_rows,), bool),
-                contact_basis=jnp.zeros(batch + (0, 3, 3), q.dtype),
-                contact_active=jnp.zeros(batch + (0,), bool),
-                bound_active=jnp.zeros(batch + (0,), bool),
-                contact_depth=jnp.zeros(batch + (0,), q.dtype),
+                contact_basis=contact_basis,
+                contact_active=stack(cact, bool) if nc else jnp.zeros(batch + (0,), bool),
+                bound_active=(
+                    stack(bact, bool)
+                    if cset.n_bounds
+                    else jnp.zeros(batch + (0,), bool)
+                ),
+                contact_depth=stack(depth) if nc else jnp.zeros(batch + (0,), q.dtype),
             )
-            return csys, res.qdd, res.lam
+            return csys, stack(qdd_c), stack(lam_c)
         jac_world = joint_space_jacobian(model, kin)
         csys = compute_constraint_system(
             model,

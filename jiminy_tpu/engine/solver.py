@@ -347,121 +347,6 @@ def _ldl_solve_components(l, dinv, rhs):
     return y
 
 
-def distance_accel_components(
-    cdyn_obj,
-    qc,
-    vc,
-    tc,
-    pairs,
-    drefc,  # [nd] components
-    kp: float,
-    kd: float,
-    lamc,  # [nd] warm-start components
-    regularization: float,
-    iter_max: int,
-):
-    """Component-level core of the distance-loop constrained forward dynamics:
-    lists of (batch,) components in, `(qdd components [nv], lam components
-    [nd])` out.  Traceable inside a Pallas kernel (every op elementwise; the
-    Gauss–Seidel loop is a `fori_loop` over a tuple carry)."""
-    model = cdyn_obj.model
-    nv = model.nv
-    nd = len(pairs)
-    xs = cdyn_obj._joint_x(qc)
-    world = cdyn_obj._world_placements(xs)
-    vel, acc = cdyn_obj._vel_bias_components(xs, vc)
-    rows, drifts = cdyn_obj.distance_rows_components(
-        xs, world, vel, acc, pairs, drefc, kp, kd
-    )
-    mass = cdyn_obj.mass_matrix_components(qc, xs=xs)
-    fext_c = None
-    if cdyn_obj.contact_frames and cdyn_obj.contact_opts is not None:
-        fext_c, _, _ = cdyn_obj._contact_fext(xs, world, vel)
-    nle = cdyn_obj.nle_components(qc, vc, fext=fext_c, xs=xs)
-    l, dinv = _ldl_factor_components(mass)
-    tau_res = _ldl_solve_components(l, dinv, [tc[i] - nle[i] for i in range(nv)])
-    minv_jt = [_ldl_solve_components(l, dinv, list(rows[r])) for r in range(nd)]
-    a_c = [[None] * nd for _ in range(nd)]
-    for r in range(nd):
-        for c2 in range(nd):
-            a_c[r][c2] = sum(rows[r][k] * minv_jt[c2][k] for k in range(nv))
-    for r in range(nd):
-        a_c[r][r] = a_c[r][r] + jnp.maximum(
-            a_c[r][r] * regularization, _MIN_REGULARIZER
-        )
-    b_c = [
-        -drifts[r] - sum(rows[r][k] * tau_res[k] for k in range(nv))
-        for r in range(nd)
-    ]
-
-    # Plain Gauss–Seidel on the unbounded rows (identical update order and
-    # iteration count as `pgs_solve`; no relaxation on unbounded rows).
-    # The carry is a tuple of components with a stable common shape.
-    bshape = jnp.broadcast_shapes(
-        *[jnp.shape(x) for x in b_c], *[jnp.shape(x) for x in lamc]
-    )
-    lam0 = tuple(
-        jnp.broadcast_to(jnp.asarray(x), bshape) for x in lamc
-    )
-
-    def body(it, xs_l):
-        xs_l = list(xs_l)
-        for r in range(nd):
-            y = b_c[r]
-            for k in range(nd):
-                y = y - a_c[k][r] * xs_l[k]
-            xs_l[r] = xs_l[r] + y / a_c[r][r]
-        return tuple(jnp.broadcast_to(x, bshape) for x in xs_l)
-
-    lam_c = list(jax.lax.fori_loop(0, iter_max, body, lam0))
-    qdd_c = [
-        tau_res[k] + sum(lam_c[r] * minv_jt[r][k] for r in range(nd))
-        for k in range(nv)
-    ]
-    return qdd_c, lam_c
-
-
-def distance_constrained_dynamics_cm(
-    cdyn_obj,
-    q: jnp.ndarray,
-    v: jnp.ndarray,
-    tau: jnp.ndarray,
-    pairs,
-    distance_ref: jnp.ndarray,  # (..., nd)
-    kp: float,
-    kd: float,
-    lam_warm: jnp.ndarray,  # (..., nd)
-    regularization: float,
-    iter_max: int,
-) -> ConstrainedDynamicsResult:
-    """Fully component-wise constrained forward dynamics for the distance-loop-
-    only case (Cassie/Digit pushrods, `DistanceConstraint` reference): FK,
-    Jacobian rows, CRBA/NLE, LDLᵀ solves, A = J·M⁻¹·Jᵀ and the Gauss–Seidel
-    iteration are all scalar-component math over the env batch — zero generic
-    spatial-algebra ops (same reassociated values as the generic path)."""
-    model = cdyn_obj.model
-    nv = model.nv
-    nd = len(pairs)
-    dtype = q.dtype
-    qc = [q[..., i] for i in range(model.nq)]
-    vc = [v[..., i] for i in range(nv)]
-    tc = [tau[..., i] for i in range(nv)]
-    drefc = [distance_ref[..., k] for k in range(nd)]
-    lamc = [lam_warm[..., r] for r in range(nd)]
-    qdd_c, lam_c = distance_accel_components(
-        cdyn_obj, qc, vc, tc, pairs, drefc, kp, kd, lamc, regularization,
-        iter_max,
-    )
-    batch = q.shape[:-1]
-    qdd = jnp.stack(
-        [jnp.broadcast_to(x, batch) for x in qdd_c], axis=-1
-    ).astype(dtype)
-    lam = jnp.stack(
-        [jnp.broadcast_to(x, batch) for x in lam_c], axis=-1
-    ).astype(dtype)
-    return ConstrainedDynamicsResult(qdd=qdd, lam=lam)
-
-
 def _normal_basis_components(n):
     """Component mirror of `constraints._normal_basis`: right-handed basis
     with column 2 = (already normalized) ground normal. Returns (c0, c1, n)
