@@ -414,7 +414,6 @@ class Engine:
             self._cdyn_cm is not None
             and (fext is None or contacts_in_fext)
             and (carry is None or carry.get("model") is None)
-            and cset.n_rolling == 0
             and cset.total_rows > 0
         ):
             # Fully component-wise constrained dynamics (no generic
@@ -434,6 +433,12 @@ class Engine:
             cactc = [carry["contact_active"][..., k] for k in range(cset.n_contacts)]
             bactc = [carry["bound_active"][..., k] for k in range(cset.n_bounds)]
             drefc = [carry["distance_ref"][..., k] for k in range(cset.n_distance)]
+            rollref = carry.get("rolling_ref")
+            rollrefc = (
+                [rollref[..., k] for k in range(cset.n_rolling)]
+                if rollref is not None
+                else []
+            )
             lamc = [carry["lam"][..., r] for r in range(cset.total_rows)]
             qdd_c, lam_c, basis, depth, cact, bact = (
                 constrained_accel_full_components(
@@ -446,6 +451,7 @@ class Engine:
                     self.options.stepper.pgs_regularization,
                     self.options.stepper.pgs_iter_max,
                     cactc, bactc, drefc, lamc, q.dtype,
+                    rollrefc=rollrefc,
                 )
             )
 
@@ -952,7 +958,6 @@ class Engine:
                 self.robot.flexibility is None
                 or not self.robot.flexibility.joint_indices
             )
-            and cset.n_rolling == 0
             and cset.total_rows > 0
         ):
             dtype = state.q.dtype
@@ -963,6 +968,7 @@ class Engine:
                     state.lam,
                     state.contact_active.astype(dtype),
                     state.bound_active.astype(dtype),
+                    state.rolling_ref,
                 ],
                 axis=-1,
             )

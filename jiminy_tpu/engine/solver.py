@@ -382,9 +382,10 @@ def constraint_system_components(
     prev_cact,  # [nc] bool components
     prev_bact,  # [nb] bool components
     drefc,  # [nd] components
+    rollrefc=(),  # [n_rolling] reference-height components
 ):
-    """Component mirror of `constraints.compute_constraint_system` (bounds +
-    contact frames + distance loops; rolling constraints not supported here).
+    """Component mirror of `constraints.compute_constraint_system`: bounds +
+    contact frames + distance loops + rolling (sphere/wheel) rows.
 
     Returns `(rows [N][nv], drifts [N], basis [nc][(c0,c1,n)], depth [nc],
     cact [nc], bact [nb])` with rows/drifts already MASKED by activity (the
@@ -518,6 +519,92 @@ def constraint_system_components(
         rows.extend(d_rows)
         drifts.extend(d_drifts)
 
+    # ---------------- rolling constraints (spheres, wheels) ----------------
+    def _frame_world_state(fidx):
+        """(pc, w_w, v_w, a_ang_w, a_lin_w, ang_cols, lin_cols) at the frame
+        origin, world axes — mirror of `compute_constraint_system._frame_wa`."""
+        parent = c.frame_parents[fidx]
+        fp = c.fpos[fidx].tolist()
+        rw, pw = world[parent]
+        pc = v_add(m_mv(rw, fp), pw)
+        w_l, v_l = vel[parent]
+        a_l = acc[parent]
+        w_w = m_mv(rw, w_l)
+        v_w = m_mv(rw, v_add(v_l, v_cross(w_l, fp)))
+        a_ang = m_mv(rw, a_l[0])
+        a_lin = v_add(
+            m_mv(rw, v_sub(a_l[1], v_cross(fp, a_l[0]))),
+            v_cross(w_w, v_w),
+        )
+        ang_cols, lin_cols = cdyn_obj._frame_jacobian_cols(world, parent, pc)
+        return pc, w_w, v_w, a_ang, a_lin, ang_cols, lin_cols
+
+    def _skew_mat(vec, scale=1.0):
+        return [
+            [0.0, -scale * vec[2], scale * vec[1]],
+            [scale * vec[2], 0.0, -scale * vec[0]],
+            [-scale * vec[1], scale * vec[0], 0.0],
+        ]
+
+    def _push_rolling_rows(sk, lin_cols, ang_cols, g):
+        for i in range(3):
+            row = [0.0] * nv
+            for d in lin_cols:
+                col = v_add(lin_cols[d], m_mv(sk, ang_cols[d]))
+                row[d] = col[i]
+            rows.append(row)
+            drifts.append(g[i])
+
+    slot = 0
+    for fidx, radius in cset.sphere_specs:
+        pc, w_w, v_w, a_ang, a_lin, ang_cols, lin_cols = _frame_world_state(fidx)
+        n = [0.0, 0.0, 1.0]
+        sk = _skew_mat(n, radius)
+        ref_h = rollrefc[slot]
+        delta = pc[2] - ref_h
+        vel_pt = v_add(v_w, m_mv(sk, w_w))
+        ska = m_mv(sk, a_ang)
+        g = [
+            a_lin[i] + ska[i] + kp * delta * n[i] + kd * vel_pt[i]
+            for i in range(3)
+        ]
+        _push_rolling_rows(sk, lin_cols, ang_cols, g)
+        slot += 1
+
+    for fidx, radius, axis in cset.wheel_specs:
+        pc, w_w, v_w, a_ang, a_lin, ang_cols, lin_cols = _frame_world_state(fidx)
+        parent = c.frame_parents[fidx]
+        rw, _ = world[parent]
+        n = [0.0, 0.0, 1.0]
+        # axis in parent-joint coords is static: frot @ axis
+        import numpy as np
+
+        ax_p = (np.asarray(c.frot[fidx], np.float64) @ np.asarray(axis, np.float64)).tolist()
+        axis_w = m_mv(rw, ax_p)
+        x = v_cross(v_cross(axis_w, n), axis_w)
+        x_norm = jnp.maximum(jnp.sqrt(jnp.maximum(v_dot(x, x), 0.0)), 1e-9)
+        y = v_scale(x, 1.0 / x_norm)
+        sk = _skew_mat(y, radius)
+        ref_h = rollrefc[slot]
+        delta = pc[2] - ref_h + radius * (n[2] - y[2])
+        daxis = v_cross(w_w, axis_w)
+        dx = v_add(
+            v_cross(v_cross(daxis, n), axis_w),
+            v_cross(v_cross(axis_w, n), daxis),
+        )
+        z = v_scale(dx, 1.0 / x_norm)
+        yz = v_dot(y, z)
+        dy = v_sub(z, v_scale(y, yz))
+        vel_pt = v_add(v_w, m_mv(sk, w_w))
+        ska = m_mv(sk, a_ang)
+        skdy_w = m_mv(_skew_mat(dy, radius), w_w)
+        g = [
+            a_lin[i] + ska[i] + skdy_w[i] + kp * delta * n[i] + kd * vel_pt[i]
+            for i in range(3)
+        ]
+        _push_rolling_rows(sk, lin_cols, ang_cols, g)
+        slot += 1
+
     return rows, drifts, basis_all, depth_all, cact, bact
 
 
@@ -540,9 +627,10 @@ def constrained_accel_full_components(
     drefc,
     lamc,
     dtype,
+    rollrefc=(),
 ):
     """Fully component-wise constrained forward dynamics for ANY bounds +
-    contacts + distance-loops constraint set (the general mirror of
+    contacts + distance-loops + rolling constraint set (the general mirror of
     `constrained_forward_dynamics` with the component CRBA/NLE/LDLᵀ fast
     path): returns `(qdd [nv], lam [N], basis, depth, cact, bact)`."""
     model = cdyn_obj.model
@@ -553,7 +641,7 @@ def constrained_accel_full_components(
     vel, acc = cdyn_obj._vel_bias_components(xs, vc)
     rows, drifts, basis, depth, cact, bact = constraint_system_components(
         cdyn_obj, cset, qc, vc, xs, world, vel, acc, ground_fn,
-        kp, kd, transition_eps, prev_cact, prev_bact, drefc,
+        kp, kd, transition_eps, prev_cact, prev_bact, drefc, rollrefc,
     )
     mass = cdyn_obj.mass_matrix_components(qc, xs=xs)
     fext_c = None
@@ -584,7 +672,7 @@ def constrained_accel_full_components(
     act_of_row += list(bact)
     for k in range(cset.n_contacts):
         act_of_row += [cact[k]] * 4
-    act_of_row += [None] * cset.n_distance  # always active
+    act_of_row += [None] * (cset.n_distance + 3 * cset.n_rolling)  # always active
     lam0 = [
         lamc[r] if act_of_row[r] is None else jnp.where(act_of_row[r], lamc[r], 0.0)
         for r in range(n)
@@ -636,13 +724,12 @@ def make_constrained_period_integrator(
     from jiminy_tpu.ops import cdyn as cdyn_mod
     from jiminy_tpu.ops.cdyn import m_mv, m_tv, v3, v_add, v_scale
 
-    if cset.n_rolling:
-        raise ValueError("rolling constraints not supported in the fused path")
     model = cdyn_obj.model
     nq, nv = model.nq, model.nv
     nd = cset.n_distance
     nb = cset.n_bounds
     nc = cset.n_contacts
+    nr = cset.n_rolling
     n = cset.total_rows
     ni = len(imu_frames)
     in_constraint_contact = nc > 0
@@ -684,15 +771,17 @@ def make_constrained_period_integrator(
         cactc = [x > 0.5 for x in cc[off : off + nc]]
         off += nc
         bactc = [x > 0.5 for x in cc[off : off + nb]]
-        return cmd, drefc, lamc, cactc, bactc
+        off += nb
+        rollrefc = cc[off : off + nr]
+        return cmd, drefc, lamc, cactc, bactc, rollrefc
 
     def accel(qc, vc, cc, dtype):
-        cmd, drefc, lamc, cactc, bactc = split_cc(cc)
+        cmd, drefc, lamc, cactc, bactc, rollrefc = split_cc(cc)
         tc = u_c(qc, vc, cmd)
         return constrained_accel_full_components(
             cdyn_obj, cset, qc, vc, tc, ground_fn, kp, kd, transition_eps,
             friction, torsion, regularization, iter_max,
-            cactc, bactc, drefc, lamc, dtype,
+            cactc, bactc, drefc, lamc, dtype, rollrefc=rollrefc,
         )
 
     def final_outputs(qc, vc, cc):

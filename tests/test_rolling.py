@@ -67,3 +67,30 @@ def test_sphere_constraint_rolls():
 
 def test_wheel_constraint_rolls():
     _roll_and_check({"frame_name": "center", "radius": 0.2, "axis": (0.0, 1.0, 0.0)})
+
+
+def test_fused_rolling_matches_generic():
+    """Rolling rows in the fused constrained path (sphere + wheel) match the
+    generic array assembly."""
+    for spec in (
+        {"frame_name": "center", "radius": 0.2},
+        {"frame_name": "center", "radius": 0.2, "axis": (0.0, 1.0, 0.0)},
+    ):
+        robot = _ball(0.2, spec)
+        base = dict(stepper=StepperOptions(dt_max=1e-3))
+        eng_f = Engine(robot, EngineOptions(use_fast_dynamics="always", **base))
+        eng_r = Engine(robot, EngineOptions(use_fast_dynamics=False, **base))
+        assert eng_f._cdyn_cm is not None and eng_f.cset.n_rolling == 1
+        q0 = jnp.asarray([0.0, 0.0, 0.2, 0.0, 0.0, 0.0, 1.0])
+        v0 = jnp.zeros(6).at[4].set(2.0)
+        st_f, st_r = eng_f.reset(q0, v0), eng_r.reset(q0, v0)
+        step_f, step_r = jax.jit(eng_f.step), jax.jit(eng_r.step)
+        for _ in range(150):
+            st_f = step_f(st_f)
+            st_r = step_r(st_r)
+        assert "cstr-rk4" in eng_f._period_runs
+        np.testing.assert_allclose(np.asarray(st_f.q), np.asarray(st_r.q), atol=1e-9)
+        np.testing.assert_allclose(np.asarray(st_f.v), np.asarray(st_r.v), atol=1e-8)
+        np.testing.assert_allclose(
+            np.asarray(st_f.lam), np.asarray(st_r.lam), atol=1e-6
+        )
