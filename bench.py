@@ -34,6 +34,25 @@ def main():
     from jiminy_tpu.envs import make
 
     env = make(env_name)
+    contact_mode = os.environ.get("BENCH_CONTACT", "")
+    if contact_mode:
+        # e.g. BENCH_CONTACT=constraint — the reference's default contact
+        # model (cone-friction PGS); BASELINE config #4 shape for Cassie.
+        import dataclasses
+
+        from jiminy_tpu.engine.config import ContactModel
+
+        eng = env.engine
+        opts = eng.options.replace(
+            contacts=dataclasses.replace(
+                eng.options.contacts, model=ContactModel(contact_mode)
+            ),
+            joint_bounds_mode=(
+                "constraint" if contact_mode == "constraint"
+                else eng.options.joint_bounds_mode
+            ),
+        )
+        eng.__init__(eng.robot, opts)
     if pallas_tile:
         # Rebuild the fused dynamics with the Pallas megakernel enabled; the
         # env layer is batch-transparent, so the whole pipeline steps on
