@@ -106,13 +106,19 @@ class Robot:
         - sensors: {"imu": [...], "encoder": [...], "effort": [...],
           "contact": [...], "force": [...]} — spec dicts per type.
         - contact_frames: frame names treated as ground contact points.
-        - collision_bodies: primitive ground-collision geometries, each
-          ``{"frame_name", "geometry": "sphere"|"capsule"|"box", ...}`` with
-          ``radius`` (sphere/capsule), ``length``+``axis`` (capsule) or
-          ``size`` (3,) (box). Expanded at build time into derived contact
-          points: sphere -> 1 radius-r point, capsule -> 2 endpoint spheres,
-          box -> 8 corner points (reference collision-body registry checked
-          against the ground via hpp-fcl, `model.h:40-129`).
+        - collision_bodies: ground-collision geometries. Each entry is either
+          a spec dict ``{"frame_name", "geometry": "sphere"|"capsule"|"box"|
+          "cylinder"|"mesh"|"points", ...}`` with ``radius`` (sphere/capsule/
+          cylinder), ``length``+``axis`` (capsule/cylinder), ``size`` (3,)
+          (box), ``points`` (N,3) (mesh/points) and optional ``origin``
+          (rot, pos) — or a bare link name (string), in which case the
+          geometry is read from the URDF's ``<collision>`` elements (requires
+          `model_or_urdf` to be a URDF; reference hardware-TOML
+          ``collisionBodyNames``, `jiminy_py/robot.py:518`). Expanded at
+          build time into derived contact points: sphere -> 1 radius-r point,
+          capsule -> 2 endpoint spheres, box -> 8 corners, cylinder -> rim
+          points, mesh -> convex-hull vertices (reference collision-body
+          registry checked against the ground via hpp-fcl, `model.h:40-129`).
         - flexibility: [{frame_name/joint_name, stiffness(3), damping(3), inertia(3)}]
           inserted as spherical joints (extended model).
         """
@@ -120,6 +126,25 @@ class Robot:
             theoretical = model_or_urdf
         else:
             theoretical = build_model_from_urdf(model_or_urdf, has_freeflyer, dtype=dtype)
+        if any(isinstance(cb, str) for cb in collision_bodies):
+            if isinstance(model_or_urdf, RobotModel):
+                raise ValueError(
+                    "collision_bodies by link name require building from URDF"
+                )
+            from jiminy_tpu.models.urdf import parse_collision_geometries
+
+            geoms = parse_collision_geometries(model_or_urdf)
+            expanded: list = []
+            for cb in collision_bodies:
+                if isinstance(cb, str):
+                    if cb not in geoms:
+                        raise ValueError(
+                            f"link '{cb}' has no <collision> geometry in the URDF"
+                        )
+                    expanded.extend(geoms[cb])
+                else:
+                    expanded.append(cb)
+            collision_bodies = expanded
         name = name or theoretical.name
         model = theoretical
         flex_cfg = None
@@ -176,24 +201,59 @@ class Robot:
 # --------------------------------------------------------------------------- #
 
 
+def _hull_downsample(points: np.ndarray, max_points: int) -> np.ndarray:
+    """Reduce a vertex cloud to its convex-hull vertices, then (if still too
+    many) a farthest-point subset of size `max_points`.  Only hull vertices can
+    ever touch a (locally planar) ground, so this is lossless for resting
+    contact up to the sampling cap."""
+    points = np.asarray(points, dtype=np.float64).reshape(-1, 3)
+    if len(points) > 4:
+        try:
+            from scipy.spatial import ConvexHull
+
+            points = points[np.unique(ConvexHull(points).vertices)]
+        except Exception:
+            pass
+    if len(points) <= max_points:
+        return points
+    # Greedy farthest-point sampling seeded at the lowest vertex (most likely
+    # first ground contact for a roughly upright body).
+    chosen = [int(np.argmin(points[:, 2]))]
+    d = np.linalg.norm(points - points[chosen[0]], axis=1)
+    for _ in range(max_points - 1):
+        nxt = int(np.argmax(d))
+        chosen.append(nxt)
+        d = np.minimum(d, np.linalg.norm(points - points[nxt], axis=1))
+    return points[chosen]
+
+
 def _expand_collision_bodies(model: RobotModel, specs) -> tuple:
-    """Expand primitive collision bodies into derived contact points.
+    """Expand primitive/mesh collision bodies into derived contact points.
 
     Returns (model_with_extra_frames, frame_indices, radii). Sphere -> one
     point of radius r at the geometry center; capsule -> one radius-r point at
-    each segment endpoint; box -> its 8 corners as radius-0 points. This is the
-    static-shape equivalent of the reference's hpp-fcl primitive-vs-ground
-    narrow phase (`engine.cc:3022-3114`): candidate points are fixed at build
-    time and activity is a runtime mask.
+    each segment endpoint; box -> its 8 corners as radius-0 points; cylinder ->
+    `n_rim` radius-0 points around each end rim; mesh/points -> the convex-hull
+    vertices of the cloud (capped at `max_points`, default 16) as radius-0
+    points. This is the static-shape equivalent of the reference's hpp-fcl
+    primitive-vs-ground narrow phase (`engine.cc:3022-3114`): candidate points
+    are fixed at build time and activity is a runtime mask.  Each spec may
+    carry an `origin` (rot, pos) placement of the geometry in the frame
+    (URDF `<collision><origin>`).
     """
     idx: list = []
     radii: list = []
+    used: dict = {}
     for spec in specs:
         fname = spec["frame_name"]
         fidx = model.frame_index(fname)
         parent = model.frame_parents[fidx]
         rot0 = np.asarray(model.fplacement_rot[fidx])
         pos0 = np.asarray(model.fplacement_pos[fidx])
+        o_rot, o_pos = spec.get("origin", (np.eye(3), np.zeros(3)))
+        rot0, pos0 = rot0 @ np.asarray(o_rot, float), pos0 + rot0 @ np.asarray(
+            o_pos, float
+        )
         geom = spec["geometry"]
         if geom == "sphere":
             offsets = [np.zeros(3)]
@@ -213,10 +273,41 @@ def _expand_collision_bodies(model: RobotModel, specs) -> tuple:
                 for ez in (-1.0, 1.0)
             ]
             r = 0.0
+        elif geom == "cylinder":
+            axis = np.asarray(spec.get("axis", (0.0, 0.0, 1.0)), float)
+            axis = axis / max(np.linalg.norm(axis), 1e-12)
+            half = 0.5 * float(spec["length"])
+            rad = float(spec["radius"])
+            n_rim = int(spec.get("n_rim", 8))
+            # Orthonormal basis of the rim plane
+            ref = np.array([1.0, 0.0, 0.0])
+            if abs(axis @ ref) > 0.9:
+                ref = np.array([0.0, 1.0, 0.0])
+            u = np.cross(axis, ref)
+            u /= np.linalg.norm(u)
+            w = np.cross(axis, u)
+            offsets = [
+                end * half * axis
+                + rad * (np.cos(a) * u + np.sin(a) * w)
+                for end in (-1.0, 1.0)
+                for a in np.linspace(0.0, 2.0 * np.pi, n_rim, endpoint=False)
+            ]
+            r = 0.0
+        elif geom in ("mesh", "points"):
+            pts = _hull_downsample(
+                spec["points"], int(spec.get("max_points", 16))
+            )
+            offsets = list(pts)
+            r = 0.0
         else:
             raise ValueError(f"unsupported collision geometry '{geom}'")
+        base = used.get(fname, 0)
+        used[fname] = base + len(offsets)
+        single = len(offsets) == 1 and base == 0
         for k, off in enumerate(offsets):
-            pname = f"{fname}_collision_{k}" if len(offsets) > 1 else f"{fname}_collision"
+            pname = (
+                f"{fname}_collision" if single else f"{fname}_collision_{base + k}"
+            )
             place = lie.SE3(
                 rot=jnp.asarray(rot0, model.dtype),
                 pos=jnp.asarray(pos0 + rot0 @ off, model.dtype),

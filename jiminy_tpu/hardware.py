@@ -9,6 +9,7 @@ Schema::
 
     [Global]
     contact_frames = ["LF_FOOT", ...]
+    collision_bodies = ["l_foot", ...]   # link names; geometry from the URDF
     loop_constraints = [["frame_a", "frame_b"], ...]
 
     [Motor.SimpleMotor.LF_HAA]
@@ -54,12 +55,19 @@ def load_hardware_description_file(path: str) -> dict:
         "motors": [],
         "sensors": {},
         "contact_frames": [],
+        "collision_bodies": [],
         "flexibility": [],
         "loop_constraints": [],
     }
     glob = data.get("Global", {})
     out["contact_frames"] = list(glob.get("contact_frames", []))
     out["loop_constraints"] = [tuple(p) for p in glob.get("loop_constraints", [])]
+    # Link names whose URDF <collision> geometry becomes ground contact points
+    # (reference `collisionBodyNames`, jiminy_py/robot.py:518); inline-table
+    # primitive specs are passed through as-is.
+    out["collision_bodies"] = list(
+        glob.get("collision_bodies", glob.get("collisionBodyNames", []))
+    )
 
     for _kind, motors in data.get("Motor", {}).items():
         for name, spec in motors.items():

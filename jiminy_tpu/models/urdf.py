@@ -217,3 +217,148 @@ def build_model_from_urdf(
             spec["position_limit"] = (lo, hi)
 
     return build_model(name, joint_specs, frame_specs, dtype=dtype)
+
+
+# --------------------------------------------------------------------------- #
+# Collision geometry (link name -> primitive/mesh specs)
+# --------------------------------------------------------------------------- #
+
+
+def load_mesh_vertices(path: str, scale=None) -> np.ndarray:
+    """Load the vertex cloud of an OBJ or STL mesh file (host-side numpy).
+
+    Minimal standalone loader (no trimesh in the image): OBJ ``v`` records,
+    STL binary (84-byte header + 50-byte triangles) or ASCII ``vertex`` lines.
+    Returns an (N, 3) float64 array; ``scale`` is an optional scalar or (3,)
+    per-axis factor (URDF ``<mesh scale=...>``).
+    """
+    ext = os.path.splitext(path)[1].lower()
+    verts: list = []
+    if ext == ".obj":
+        with open(path, "r", errors="ignore") as f:
+            for line in f:
+                if line.startswith("v "):
+                    parts = line.split()
+                    verts.append([float(parts[1]), float(parts[2]), float(parts[3])])
+        out = np.asarray(verts, dtype=np.float64)
+    elif ext == ".stl":
+        with open(path, "rb") as f:
+            data = f.read()
+        if data[:5] == b"solid" and b"facet" in data[:500]:
+            for line in data.decode(errors="ignore").splitlines():
+                parts = line.split()
+                if parts[:1] == ["vertex"]:
+                    verts.append([float(parts[1]), float(parts[2]), float(parts[3])])
+            out = np.asarray(verts, dtype=np.float64)
+        else:
+            (ntri,) = np.frombuffer(data[80:84], dtype="<u4")
+            tri = np.frombuffer(
+                data[84 : 84 + 50 * int(ntri)], dtype=np.uint8
+            ).reshape(int(ntri), 50)
+            # Each record: normal (3f) + 3 vertices (9f) + 2-byte attribute
+            floats = tri[:, :48].copy().view("<f4").reshape(int(ntri), 4, 3)
+            out = floats[:, 1:, :].reshape(-1, 3).astype(np.float64)
+        if out.size:
+            out = np.unique(out, axis=0)
+    else:
+        raise ValueError(f"unsupported mesh format '{ext}' ({path})")
+    if out.size == 0:
+        raise ValueError(f"no vertices found in mesh {path}")
+    if scale is not None:
+        out = out * np.asarray(scale, dtype=np.float64)
+    return out
+
+
+def _resolve_mesh_path(filename: str, urdf_dir: str, mesh_dirs=()) -> str:
+    """Resolve a URDF mesh reference (``package://...`` or relative path)."""
+    cands = []
+    if filename.startswith("package://"):
+        rel = filename[len("package://") :]
+        for base in (*mesh_dirs, urdf_dir):
+            cands.append(os.path.join(base, rel))
+            # Also try dropping the package name component
+            cands.append(os.path.join(base, *rel.split("/")[1:]))
+    elif os.path.isabs(filename):
+        cands.append(filename)
+    else:
+        for base in (urdf_dir, *mesh_dirs):
+            cands.append(os.path.join(base, filename))
+    for c in cands:
+        if os.path.exists(c):
+            return c
+    raise FileNotFoundError(f"mesh '{filename}' not found (tried {cands})")
+
+
+def parse_collision_geometries(
+    path_or_str: str, mesh_dirs=()
+) -> dict[str, list[dict]]:
+    """Parse per-link ``<collision>`` geometries from a URDF.
+
+    Role-equivalent to the reference's collision-body pipeline: hardware-file
+    ``collisionBodyNames`` designate links whose collision geometry (declared
+    in the URDF, loaded through hpp-fcl) is checked against the ground
+    (`jiminy_py/robot.py:518`, `engine.cc:3022-3114`).  Returns
+    ``{link_name: [collision spec, ...]}`` where each spec is a
+    `Robot.build(collision_bodies=...)` dict: geometry kind + parameters +
+    ``origin`` (rot, pos) placement in the link frame.  Mesh geometries load
+    their vertex cloud eagerly (``points`` key) so downstream stays file-free.
+    """
+    if os.path.exists(path_or_str):
+        root = ET.parse(path_or_str).getroot()
+        urdf_dir = os.path.dirname(os.path.abspath(path_or_str))
+    else:
+        root = ET.fromstring(path_or_str)
+        urdf_dir = os.getcwd()
+    out: dict[str, list[dict]] = {}
+    for link in root.findall("link"):
+        lname = link.get("name")
+        specs = []
+        for col in link.findall("collision"):
+            geom = col.find("geometry")
+            if geom is None or len(geom) == 0:
+                continue
+            g = geom[0]
+            rot, pos = _parse_origin(col.find("origin"))
+            spec: dict = {"frame_name": lname, "origin": (rot, pos)}
+            if g.tag == "sphere":
+                spec.update(geometry="sphere", radius=float(g.get("radius")))
+            elif g.tag == "box":
+                spec.update(
+                    geometry="box",
+                    size=tuple(float(x) for x in g.get("size").split()),
+                )
+            elif g.tag == "cylinder":
+                spec.update(
+                    geometry="cylinder",
+                    radius=float(g.get("radius")),
+                    length=float(g.get("length")),
+                )
+            elif g.tag == "capsule":
+                spec.update(
+                    geometry="capsule",
+                    radius=float(g.get("radius")),
+                    length=float(g.get("length")),
+                )
+            elif g.tag == "mesh":
+                scale_attr = g.get("scale")
+                scale = (
+                    np.array([float(x) for x in scale_attr.split()])
+                    if scale_attr
+                    else None
+                )
+                mesh_path = _resolve_mesh_path(
+                    g.get("filename"), urdf_dir, mesh_dirs
+                )
+                spec.update(
+                    geometry="mesh",
+                    points=load_mesh_vertices(mesh_path, scale),
+                    filename=mesh_path,
+                )
+            else:
+                raise ValueError(
+                    f"unsupported collision geometry <{g.tag}> on link {lname}"
+                )
+            specs.append(spec)
+        if specs:
+            out[lname] = specs
+    return out

@@ -61,6 +61,7 @@ class Simulator:
             motors=hw.get("motors", ()),
             sensors=hw.get("sensors", None),
             contact_frames=hw.get("contact_frames", ()),
+            collision_bodies=hw.get("collision_bodies", ()),
             flexibility=hw.get("flexibility", ()),
             loop_constraints=hw.get("loop_constraints", ()),
             **robot_kwargs,

@@ -194,3 +194,140 @@ def test_sphere_cdyn_consistency():
         st_f, st_r = step_f(st_f), step_r(st_r)
     np.testing.assert_allclose(np.asarray(st_f.q), np.asarray(st_r.q), atol=1e-12)
     np.testing.assert_allclose(np.asarray(st_f.v), np.asarray(st_r.v), atol=1e-12)
+
+
+def test_cylinder_rim_points_resting():
+    """A horizontal cylinder (axis along x) expands to rim points and rests
+    with its axis at height ~r (rim contact line)."""
+    r, length = 0.1, 0.5
+    robot = Robot.build(
+        _slider_model(),
+        collision_bodies=[
+            {
+                "frame_name": "center",
+                "geometry": "cylinder",
+                "radius": r,
+                "length": length,
+                "axis": (1.0, 0.0, 0.0),
+                "n_rim": 16,
+            }
+        ],
+    )
+    assert len(robot.contact_frame_indices) == 32
+    assert robot.contact_radii == (0.0,) * 32
+    eng = Engine(
+        robot, EngineOptions(contacts=CONTACT, stepper=StepperOptions(dt_max=1e-3))
+    )
+    st = _settle(eng, [0.3], steps=3000)
+    # With 16 rim points the lowest points sit within r*(1-cos(pi/16)) of -r
+    assert abs(float(st.q[0]) - r) < r * 0.03 + 1e-3
+    assert abs(float(st.v[0])) < 1e-4
+
+
+def test_mesh_points_hull_and_resting():
+    """A 'mesh' vertex cloud reduces to its convex hull and rests on its
+    lowest vertices (tetrahedron with a flat bottom face)."""
+    pts = np.array(
+        [
+            [0.1, 0.1, -0.05],
+            [-0.1, 0.1, -0.05],
+            [0.0, -0.1, -0.05],
+            [0.0, 0.0, 0.15],
+            [0.0, 0.0, 0.0],  # interior: must be dropped by the hull
+        ]
+    )
+    robot = Robot.build(
+        _slider_model(),
+        collision_bodies=[
+            {"frame_name": "center", "geometry": "mesh", "points": pts}
+        ],
+    )
+    assert len(robot.contact_frame_indices) == 4  # hull drops the interior point
+    eng = Engine(
+        robot, EngineOptions(contacts=CONTACT, stepper=StepperOptions(dt_max=1e-3))
+    )
+    st = _settle(eng, [0.2], steps=3000)
+    expected = 0.05 - 9.81 / (3 * CONTACT.stiffness)  # 3 bottom verts share mg
+    assert abs(float(st.q[0]) - expected) < 1e-3
+
+
+def test_collision_bodies_from_urdf_by_name(tmp_path):
+    """Bare link names in collision_bodies resolve geometry from the URDF's
+    <collision> elements (reference hardware-TOML collisionBodyNames flow),
+    including mesh files and multiple geometries per link."""
+    mesh = tmp_path / "blob.obj"
+    mesh.write_text(
+        "v 0.1 0.1 -0.02\nv -0.1 0.1 -0.02\nv 0.0 -0.1 -0.02\nv 0.0 0.0 0.1\n"
+        "f 1 2 3\nf 1 2 4\n"
+    )
+    urdf = tmp_path / "rig.urdf"
+    urdf.write_text(
+        f"""<robot name="rig">
+  <link name="base">
+    <inertial><mass value="1.0"/>
+      <inertia ixx="1e-2" iyy="1e-2" izz="1e-2" ixy="0" ixz="0" iyz="0"/>
+    </inertial>
+    <collision>
+      <origin xyz="0 0 -0.05" rpy="0 0 0"/>
+      <geometry><box size="0.2 0.1 0.04"/></geometry>
+    </collision>
+    <collision>
+      <geometry><sphere radius="0.03"/></geometry>
+    </collision>
+  </link>
+  <joint name="arm" type="revolute">
+    <parent link="base"/><child link="tip"/>
+    <axis xyz="0 1 0"/>
+    <limit lower="-1" upper="1" effort="10" velocity="10"/>
+  </joint>
+  <link name="tip">
+    <inertial><mass value="0.5"/>
+      <inertia ixx="1e-3" iyy="1e-3" izz="1e-3" ixy="0" ixz="0" iyz="0"/>
+    </inertial>
+    <collision>
+      <geometry><mesh filename="blob.obj"/></geometry>
+    </collision>
+  </link>
+</robot>"""
+    )
+    robot = Robot.build(
+        str(urdf),
+        has_freeflyer=True,
+        collision_bodies=["base", "tip"],
+    )
+    # base: 8 box corners + 1 sphere; tip: 4 hull vertices
+    assert len(robot.contact_frame_indices) == 13
+    assert robot.contact_radii[:8] == (0.0,) * 8
+    assert robot.contact_radii[8] == 0.03
+    m = robot.model
+    # Box origin offset applied: lowest corner z = -0.05 - 0.02 in base frame
+    zs = [float(m.fplacement_pos[i][2]) for i in robot.contact_frame_indices[:8]]
+    assert abs(min(zs) - (-0.07)) < 1e-9
+    assert abs(max(zs) - (-0.03)) < 1e-9
+
+
+def test_mesh_vertex_loaders(tmp_path):
+    """OBJ and binary-STL vertex loaders return the declared vertices."""
+    from jiminy_tpu.models.urdf import load_mesh_vertices
+
+    obj = tmp_path / "tri.obj"
+    obj.write_text("# c\nv 1 2 3\nv -1 0 0.5\nvn 0 0 1\nf 1 2 1\n")
+    out = load_mesh_vertices(str(obj))
+    np.testing.assert_allclose(out, [[1, 2, 3], [-1, 0, 0.5]])
+    out2 = load_mesh_vertices(str(obj), scale=(2.0, 1.0, 1.0))
+    np.testing.assert_allclose(out2[0], [2, 2, 3])
+
+    import struct
+
+    tris = [((0, 0, 1), ((0, 0, 0), (1, 0, 0), (0, 1, 0)))]
+    buf = b"\0" * 80 + struct.pack("<I", len(tris))
+    for n, vs in tris:
+        buf += struct.pack("<3f", *n)
+        for v in vs:
+            buf += struct.pack("<3f", *v)
+        buf += b"\0\0"
+    stl = tmp_path / "tri.stl"
+    stl.write_bytes(buf)
+    out = load_mesh_vertices(str(stl))
+    assert out.shape == (3, 3)
+    assert {tuple(v) for v in out} == {(0, 0, 0), (1, 0, 0), (0, 1, 0)}
