@@ -1,5 +1,6 @@
-"""Utilities: random processes, procedural terrain, helpers."""
+"""Utilities: random processes, procedural terrain, profiling, helpers."""
 
+from jiminy_tpu.utils.profiling import Timer, timeit, trace
 from jiminy_tpu.utils.terrain import (
     PeriodicFourierProcess,
     PeriodicGaussianProcess,
@@ -19,6 +20,9 @@ from jiminy_tpu.utils.terrain import (
 )
 
 __all__ = [
+    "Timer",
+    "timeit",
+    "trace",
     "PeriodicGaussianProcess",
     "PeriodicFourierProcess",
     "perlin1",
