@@ -74,6 +74,11 @@ class PPOState:
     last_obs: jnp.ndarray  # (n_envs, obs_dim)
     key: jnp.ndarray
     iteration: jnp.ndarray
+    # Per-env episode accumulators (reference `MonitorEpisodeCallback`,
+    # `rllib/utilities.py:162`): running return/length of the in-flight
+    # episode, carried across rollout boundaries.
+    ep_return: jnp.ndarray  # (n_envs,)
+    ep_length: jnp.ndarray  # (n_envs,) int32
 
 
 def _gaussian_logp(mean, log_std, action):
@@ -135,6 +140,11 @@ def make_train(
         obs = flat_obs(obs)
         params = network.init(k_net, obs[:1])
         opt_state = tx.init(params)
+        ep_return = jnp.zeros((config.n_envs,), obs.dtype)
+        ep_length = jnp.zeros((config.n_envs,), jnp.int32)
+        if data_sharding is not None:
+            ep_return = jax.device_put(ep_return, data_sharding)
+            ep_length = jax.device_put(ep_length, data_sharding)
         return PPOState(
             params=params,
             opt_state=opt_state,
@@ -142,11 +152,13 @@ def make_train(
             last_obs=obs,
             key=k,
             iteration=jnp.asarray(0, jnp.int32),
+            ep_return=ep_return,
+            ep_length=ep_length,
         )
 
     def rollout(state: PPOState):
         def step_once(carry, _):
-            env_state, obs, key = carry
+            env_state, obs, key, ep_ret, ep_len = carry
             key, k_act = jax.random.split(key)
             mean, log_std, value = network.apply(state.params, obs)
             action = mean + jnp.exp(log_std) * jax.random.normal(
@@ -163,6 +175,8 @@ def make_train(
                 )
             next_obs = flat_obs(next_obs)
             done = term | trunc
+            ep_ret = ep_ret + reward
+            ep_len = ep_len + 1
             data = {
                 "obs": obs,
                 "action": action,
@@ -170,14 +184,23 @@ def make_train(
                 "value": value,
                 "reward": reward,
                 "done": done,
+                # Finished-episode stats, nonzero only at termination steps
+                # (reference MonitorEpisodeCallback, rllib/utilities.py:162).
+                "ep_return_final": jnp.where(done, ep_ret, 0.0),
+                "ep_length_final": jnp.where(done, ep_len, 0),
             }
-            return (env_state, next_obs, key), data
+            ep_ret = jnp.where(done, 0.0, ep_ret)
+            ep_len = jnp.where(done, 0, ep_len)
+            return (env_state, next_obs, key, ep_ret, ep_len), data
 
-        (env_state, last_obs, key), traj = jax.lax.scan(
-            step_once, (state.env_state, state.last_obs, state.key), None,
+        (env_state, last_obs, key, ep_ret, ep_len), traj = jax.lax.scan(
+            step_once,
+            (state.env_state, state.last_obs, state.key,
+             state.ep_return, state.ep_length),
+            None,
             length=config.n_steps,
         )
-        return env_state, last_obs, key, traj
+        return env_state, last_obs, key, ep_ret, ep_len, traj
 
     def compute_gae(traj, last_value):
         def scan_fn(carry, x):
@@ -269,7 +292,7 @@ def make_train(
         return total, metrics
 
     def train_step(state: PPOState):
-        env_state, last_obs, key, traj = rollout(state)
+        env_state, last_obs, key, ep_ret, ep_len, traj = rollout(state)
         _, _, last_value = network.apply(state.params, last_obs)
         advantages, returns = compute_gae(traj, last_value)
         next_obs = jnp.concatenate([traj["obs"][1:], last_obs[None]], axis=0)
@@ -320,9 +343,16 @@ def make_train(
             length=config.n_epochs,
         )
         mean_reward = jnp.mean(traj["reward"])
+        n_done = jnp.sum(traj["done"].astype(jnp.float32))
+        denom = jnp.maximum(n_done, 1.0)
         ep_metrics = {
             "mean_reward": mean_reward,
             "mean_done": jnp.mean(traj["done"].astype(jnp.float32)),
+            "episode_return_mean": jnp.sum(traj["ep_return_final"]) / denom,
+            "episode_length_mean": (
+                jnp.sum(traj["ep_length_final"].astype(jnp.float32)) / denom
+            ),
+            "episodes": n_done,
             **jax.tree.map(jnp.mean, metrics),
         }
         new_state = PPOState(
@@ -332,6 +362,8 @@ def make_train(
             last_obs=last_obs,
             key=key,
             iteration=state.iteration + 1,
+            ep_return=ep_ret,
+            ep_length=ep_len,
         )
         return new_state, ep_metrics
 

@@ -24,6 +24,20 @@ def test_ppo_learns_cartpole():
     late = np.mean([h["mean_done"] for h in hist[-5:]])
     assert late < early  # episodes are getting longer
 
+    # Episode monitor (reference MonitorEpisodeCallback): untrained cartpole
+    # episodes end within the rollout, so finished-episode stats are live and
+    # consistent; mean length grows as training progresses.
+    assert hist[0]["episodes"] > 0
+    for h in hist:
+        if h["episodes"] > 0:
+            assert h["episode_length_mean"] > 0
+            assert np.isfinite(h["episode_return_mean"])
+            # survival reward = 1/step: return tracks length
+            assert abs(h["episode_return_mean"] - h["episode_length_mean"]) < 5.0
+    early_len = np.mean([h["episode_length_mean"] for h in hist[:5]])
+    late_lens = [h["episode_length_mean"] for h in hist[-5:] if h["episodes"] > 0]
+    assert not late_lens or np.mean(late_lens) > early_len
+
     env = make("cartpole")
     net = ActorCritic(1, hidden=cfg.hidden)
     lengths = []
