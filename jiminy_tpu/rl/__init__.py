@@ -6,6 +6,7 @@ of the vmapped env step *inside* the learner program, sharded across devices wit
 `jax.sharding` — gradients all-reduce over ICI, no object store, no RPC.
 """
 
+from jiminy_tpu.rl.checkpoint import restore_checkpoint, save_checkpoint
 from jiminy_tpu.rl.evaluate import evaluate, policy_from_params
 from jiminy_tpu.rl.ppo import PPOConfig, PPOState, make_train, train
 
@@ -15,5 +16,7 @@ __all__ = [
     "evaluate",
     "make_train",
     "policy_from_params",
+    "restore_checkpoint",
+    "save_checkpoint",
     "train",
 ]

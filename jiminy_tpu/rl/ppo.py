@@ -377,22 +377,60 @@ def train(
     mesh: Optional[jax.sharding.Mesh] = None,
     callback: Optional[Callable] = None,
     symmetry: Optional[tuple] = None,
+    log_dir: Optional[str] = None,
+    checkpoint_every: int = 0,
 ):
     """Run `config.total_iterations` PPO iterations; returns (state, history).
 
     Role-equivalent to `gym_jiminy.rllib.utilities.train` (reference
     `rllib/utilities.py:564`), minus Ray: one process, N devices.
+
+    If `log_dir` is given, per-iteration metrics are appended to
+    `<log_dir>/metrics.jsonl` (the reference's TensorBoard logging role —
+    plain JSON lines, plottable with `jiminy_tpu.plot`), and, when
+    `checkpoint_every > 0`, the full `PPOState` (params, optimizer, env
+    states, RNG keys — bit-exact resume) is saved every that many iterations
+    to `<log_dir>/ckpt_<i>` plus a final `<log_dir>/ckpt_final`.
     """
     if key is None:
         key = jax.random.PRNGKey(0)
     init_fn, train_step = make_train(env, config, mesh=mesh, symmetry=symmetry)
     state = init_fn(key)
     step = jax.jit(train_step)
+    metrics_file = None
+    if log_dir is not None:
+        import os
+
+        os.makedirs(log_dir, exist_ok=True)
+        metrics_file = open(  # noqa: SIM115 — kept open across iterations
+            os.path.join(log_dir, "metrics.jsonl"), "a"
+        )
     history = []
-    for i in range(config.total_iterations):
-        state, metrics = step(state)
-        metrics = {k: float(v) for k, v in metrics.items()}
-        history.append(metrics)
-        if callback is not None:
-            callback(i, state, metrics)
+    try:
+        for i in range(config.total_iterations):
+            state, metrics = step(state)
+            metrics = {k: float(v) for k, v in metrics.items()}
+            history.append(metrics)
+            if metrics_file is not None:
+                import json
+
+                metrics_file.write(json.dumps({"iteration": i, **metrics}) + "\n")
+                metrics_file.flush()
+            if (
+                log_dir is not None
+                and checkpoint_every > 0
+                and (i + 1) % checkpoint_every == 0
+            ):
+                from jiminy_tpu.rl.checkpoint import save_checkpoint
+
+                save_checkpoint(f"{log_dir}/ckpt_{i + 1}", state)
+            if callback is not None:
+                callback(i, state, metrics)
+        if log_dir is not None and checkpoint_every > 0:
+            from jiminy_tpu.rl.checkpoint import save_checkpoint
+
+            save_checkpoint(f"{log_dir}/ckpt_final", state)
+    finally:
+        if metrics_file is not None:
+            metrics_file.close()
     return state, history
