@@ -1,12 +1,17 @@
 """Viewer: offline 3D replay rendering of trajectories.
 
 The reference ships Meshcat/Panda3d backends (`jiminy_py/viewer/`); neither is
-available in a zero-egress TPU pod, so the default backend renders the robot
-skeleton (joint tree + contact points + ground) with matplotlib 3D — good for
-replay sanity checks, video export (GIF via pillow), and documentation stills.
-The API mirrors `jiminy_py.viewer.Viewer` / `play_trajectories`.
+available in a zero-egress TPU pod, so two headless backends are provided:
+
+- **glTF** (`export_gltf`): self-contained .glb animation of the full replay
+  (per-joint keyframes, bone/contact geometry, ground heightmap) playable in
+  any glTF 2.0 viewer — the TPU-pod equivalent of the reference's
+  meshcat/panda3d `play_trajectories` video recording.
+- **matplotlib** (`Viewer`, `play_trajectories`): skeleton stills and GIFs for
+  sanity checks and documentation.
 """
 
+from jiminy_tpu.viewer.gltf import GltfBuilder, export_gltf, load_glb
 from jiminy_tpu.viewer.viewer import Viewer, play_trajectories
 
-__all__ = ["Viewer", "play_trajectories"]
+__all__ = ["Viewer", "play_trajectories", "export_gltf", "load_glb", "GltfBuilder"]
