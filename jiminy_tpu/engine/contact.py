@@ -135,3 +135,75 @@ def compute_contact_forces(
         jnp.stack(w_local_list, axis=-2),
         jnp.stack(depth_list, axis=-1),
     )
+
+
+def compute_pair_forces(
+    model: RobotModel,
+    opts: ContactOptions,
+    kin: KinData,
+    contact_frame_indices: tuple,
+    contact_radii: tuple,
+    pairs: tuple,
+):
+    """Body-vs-body narrowphase: sphere-sphere spring-damper contact between
+    collision points (self-collision / robot-robot).
+
+    Goes BEYOND the reference, whose engine only dispatches ground collision
+    (`engine.cc:3022-3024`); the design reuses the collision-body expansion
+    (each primitive is covered by spheres: capsule -> endpoint spheres, mesh ->
+    hull vertices), so any primitive pair reduces to a static list of
+    sphere-sphere tests — fixed shapes, no broadphase, TPU-friendly.
+
+    `pairs`: static tuple of (ka, kb) indices into `contact_frame_indices`.
+    Returns (fext (..., nj, 6) LOCAL joint wrenches, f_world (..., np, 3) force
+    on body b, depth (..., np)).
+    """
+    batch = kin.vel.shape[:-2]
+    dtype = kin.vel.dtype
+    nj = model.njoints
+    fext = jnp.zeros(batch + (nj, 6), dtype)
+    if not pairs:
+        return fext, jnp.zeros(batch + (0, 3), dtype), jnp.zeros(batch + (0,), dtype)
+
+    # Positions/velocities of every collision point referenced by some pair
+    used = sorted({k for ab in pairs for k in ab})
+    cache = {}
+    for k in used:
+        fidx = contact_frame_indices[k]
+        fpl = frame_placement(model, kin, fidx)
+        v_local = frame_velocity_local(model, kin, fidx)
+        v_w = lie.mv(fpl.rot, v_local[..., 3:])
+        w_w = lie.mv(fpl.rot, v_local[..., :3])
+        cache[k] = (fpl.pos, v_w, w_w)
+
+    f_list, d_list = [], []
+    for ka, kb in pairs:
+        ra = contact_radii[ka] if ka < len(contact_radii) else 0.0
+        rb = contact_radii[kb] if kb < len(contact_radii) else 0.0
+        pa, va, wa = cache[ka]
+        pb, vb, wb = cache[kb]
+        d = pb - pa
+        dist = jnp.linalg.norm(d, axis=-1)
+        n = d / jnp.maximum(dist, 1e-12)[..., None]  # from a towards b
+        depth = dist - (ra + rb)  # negative = penetrating
+        # Contact point: midpoint of the overlap segment
+        c = pa + (ra + 0.5 * depth)[..., None] * n
+        v_pa = va + jnp.cross(wa, c - pa)
+        v_pb = vb + jnp.cross(wb, c - pb)
+        v_rel = v_pb - v_pa  # velocity of b relative to a at the contact
+        # Same Kelvin–Voigt + saturated-friction law as ground contact
+        # (force on body b along +n when penetrating)
+        f_b = spring_damper_force_world(opts, n, depth, v_rel)
+
+        for k, sign, point in ((ka, -1.0, c), (kb, 1.0, c)):
+            parent = model.frame_parents[contact_frame_indices[k]]
+            rot_j = kin.omi.rot[..., parent, :, :]
+            pos_j = kin.omi.pos[..., parent, :]
+            f_w = sign * f_b
+            tau_w = jnp.cross(point - pos_j, f_w)
+            rt = jnp.swapaxes(rot_j, -1, -2)
+            fext = fext.at[..., parent, 0:3].add(lie.mv(rt, tau_w))
+            fext = fext.at[..., parent, 3:6].add(lie.mv(rt, f_w))
+        f_list.append(f_b)
+        d_list.append(depth)
+    return fext, jnp.stack(f_list, axis=-2), jnp.stack(d_list, axis=-1)

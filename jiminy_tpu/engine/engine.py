@@ -149,10 +149,12 @@ class Engine:
         fast_enabled = fast_opt == "always" or (
             fast_opt is True and jax.default_backend() != "cpu"
         )
+        self._has_pairs = bool(robot.collision_pair_indices)
         if (
             fast_enabled
             and not self.constraint_mode
             and not self.has_constraints
+            and not self._has_pairs
         ):
             from jiminy_tpu.ops import cdyn as cdyn_mod
 
@@ -300,6 +302,19 @@ class Engine:
         if fext_extra is not None:
             fext_user = fext_extra if fext_user is None else fext_user + fext_extra
 
+        aux_pairs = {}
+        if self._has_pairs:
+            # Body-vs-body narrowphase (self-collision): sphere-sphere
+            # spring-damper forces in BOTH contact modes (ground contacts may
+            # still go through PGS; the pair forces ride in as joint wrenches).
+            fext_pairs, pair_f, pair_depth = contact_mod.compute_pair_forces(
+                model, self.options.contacts, kin,
+                robot.contact_frame_indices, robot.contact_radii,
+                robot.collision_pair_indices,
+            )
+            fext_user = fext_pairs if fext_user is None else fext_user + fext_pairs
+            aux_pairs = {"pair_f_world": pair_f, "pair_depth": pair_depth}
+
         u = internal_mod.flexibility_torque(robot, q, v)
 
         if robot.motors is not None and robot.motors.nmotors:
@@ -355,6 +370,7 @@ class Engine:
                 "contact_f_world": f_world,
                 "contact_w_local": w_local,
                 "contact_depth": depth,
+                **aux_pairs,
                 **aux_c,
             }
 
@@ -387,6 +403,7 @@ class Engine:
             "contact_f_world": f_world,
             "contact_w_local": w_local,
             "contact_depth": csys.contact_depth,
+            **aux_pairs,
             "lam": lam,
             "contact_active": csys.contact_active,
             "bound_active": csys.bound_active,
@@ -952,6 +969,7 @@ class Engine:
             fused_kind is not None
             and self._cdyn is None
             and self._cdyn_cm is not None
+            and not self._has_pairs
             and self.external_force_fn is None
             and carry.get("model") is None
             and (

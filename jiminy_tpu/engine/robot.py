@@ -65,6 +65,10 @@ class Robot:
     # Rolling-without-slip user constraints: ({"frame_name", "radius", ["axis"]},)
     # (reference Sphere/WheelConstraint)
     rolling_specs: tuple = struct.field(pytree_node=False, default=())
+    # Body-vs-body narrowphase (self-collision): static (ka, kb) index pairs
+    # into contact_frame_indices/contact_radii (sphere-sphere tests; see
+    # `contact.compute_pair_forces`). Beyond-reference capability.
+    collision_pair_indices: tuple = struct.field(pytree_node=False, default=())
 
     @property
     def nq(self):
@@ -97,6 +101,7 @@ class Robot:
         flexibility: Sequence[dict] = (),
         loop_constraints: Sequence[tuple] = (),
         rolling_constraints: Sequence[dict] = (),
+        collision_pairs: Sequence[tuple] = (),
         dtype=None,
     ) -> "Robot":
         """Assemble a robot.
@@ -121,6 +126,12 @@ class Robot:
           registry checked against the ground via hpp-fcl, `model.h:40-129`).
         - flexibility: [{frame_name/joint_name, stiffness(3), damping(3), inertia(3)}]
           inserted as spherical joints (extended model).
+        - collision_pairs: body-vs-body narrowphase (self-collision) pairs of
+          frame/link names, e.g. ``[("left_shin", "right_shin")]``. Each name
+          selects all collision points expanded from that link's collision
+          bodies (or a direct contact frame); the pair expands to the cross
+          product of sphere-sphere tests (`contact.compute_pair_forces`).
+          Goes beyond the reference, which only dispatches ground collision.
         """
         if isinstance(model_or_urdf, RobotModel):
             theoretical = model_or_urdf
@@ -173,6 +184,26 @@ class Robot:
             )
             contact_idx = contact_idx + extra_idx
             radii += extra_radii
+        pair_idx: list = []
+        if collision_pairs:
+            def points_of(nm: str) -> list:
+                ks = [
+                    k
+                    for k, fi in enumerate(contact_idx)
+                    if model.frame_names[fi] == nm
+                    or model.frame_names[fi].startswith(nm + "_collision")
+                ]
+                if not ks:
+                    raise ValueError(
+                        f"collision pair link '{nm}' has no contact frame or "
+                        "collision body"
+                    )
+                return ks
+
+            for nm_a, nm_b in collision_pairs:
+                for ka in points_of(nm_a):
+                    for kb in points_of(nm_b):
+                        pair_idx.append((ka, kb))
         suite = _build_sensor_suite(model, bank, sensors or {}, contact_idx, dtype)
         return Robot(
             name=name,
@@ -193,6 +224,7 @@ class Robot:
                 )
                 for r in rolling_constraints
             ),
+            collision_pair_indices=tuple(pair_idx),
         )
 
 
