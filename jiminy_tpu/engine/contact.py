@@ -137,24 +137,45 @@ def compute_contact_forces(
     )
 
 
+def closest_segment_points(p1, q1, p2, q2, eps: float = 1e-12):
+    """Closest points between segments [p1,q1] and [p2,q2] (..., 3) —
+    branchless clamped formulation (Ericson, Real-Time Collision Detection
+    §5.1.9), degenerate-safe: a zero-length segment degrades to a point."""
+    d1 = q1 - p1
+    d2 = q2 - p2
+    r = p1 - p2
+    a = jnp.sum(d1 * d1, axis=-1)
+    e = jnp.sum(d2 * d2, axis=-1)
+    b = jnp.sum(d1 * d2, axis=-1)
+    c = jnp.sum(d1 * r, axis=-1)
+    f = jnp.sum(d2 * r, axis=-1)
+    denom = a * e - b * b
+    s = jnp.where(denom > eps, jnp.clip((b * f - c * e) / jnp.maximum(denom, eps), 0.0, 1.0), 0.0)
+    t = jnp.where(e > eps, (b * s + f) / jnp.maximum(e, eps), 0.0)
+    t_cl = jnp.clip(t, 0.0, 1.0)
+    s_re = jnp.where(a > eps, jnp.clip((b * t_cl - c) / jnp.maximum(a, eps), 0.0, 1.0), 0.0)
+    s = jnp.where((t < 0.0) | (t > 1.0), s_re, s)
+    return p1 + s[..., None] * d1, p2 + t_cl[..., None] * d2
+
+
 def compute_pair_forces(
     model: RobotModel,
     opts: ContactOptions,
     kin: KinData,
-    contact_frame_indices: tuple,
-    contact_radii: tuple,
     pairs: tuple,
 ):
-    """Body-vs-body narrowphase: sphere-sphere spring-damper contact between
-    collision points (self-collision / robot-robot).
+    """Body-vs-body narrowphase: spring-damper contact between primitive
+    pairs (self-collision / robot-robot).
 
     Goes BEYOND the reference, whose engine only dispatches ground collision
-    (`engine.cc:3022-3024`); the design reuses the collision-body expansion
-    (each primitive is covered by spheres: capsule -> endpoint spheres, mesh ->
-    hull vertices), so any primitive pair reduces to a static list of
-    sphere-sphere tests — fixed shapes, no broadphase, TPU-friendly.
+    (`engine.cc:3022-3024`). Every primitive reduces at build time to a
+    *segment + radius* in its parent joint frame (sphere: zero-length segment;
+    capsule: its axis; box/cylinder/mesh: one degenerate segment per expanded
+    point), so every pair is one exact segment-segment closest-point test —
+    fixed shapes, no broadphase, TPU-friendly.
 
-    `pairs`: static tuple of (ka, kb) indices into `contact_frame_indices`.
+    `pairs`: static tuple of (ga, gb) with g = (parent_joint, radius, p0, p1)
+    and p0/p1 3-tuples in the parent joint frame.
     Returns (fext (..., nj, 6) LOCAL joint wrenches, f_world (..., np, 3) force
     on body b, depth (..., np)).
     """
@@ -165,45 +186,45 @@ def compute_pair_forces(
     if not pairs:
         return fext, jnp.zeros(batch + (0, 3), dtype), jnp.zeros(batch + (0,), dtype)
 
-    # Positions/velocities of every collision point referenced by some pair
-    used = sorted({k for ab in pairs for k in ab})
-    cache = {}
-    for k in used:
-        fidx = contact_frame_indices[k]
-        fpl = frame_placement(model, kin, fidx)
-        v_local = frame_velocity_local(model, kin, fidx)
-        v_w = lie.mv(fpl.rot, v_local[..., 3:])
-        w_w = lie.mv(fpl.rot, v_local[..., :3])
-        cache[k] = (fpl.pos, v_w, w_w)
+    def world_seg(g):
+        j, r, p0, p1 = g
+        rot = kin.omi.rot[..., j, :, :]
+        pos = kin.omi.pos[..., j, :]
+        a0 = pos + lie.mv(rot, jnp.asarray(p0, dtype))
+        a1 = pos + lie.mv(rot, jnp.asarray(p1, dtype)) if p1 != p0 else a0
+        return j, float(r), a0, a1, rot, pos
+
+    def point_velocity(j, rot, pos, c):
+        # kin.vel = LOCAL joint spatial velocity (ang, lin)
+        w_l = kin.vel[..., j, 0:3]
+        v_l = kin.vel[..., j, 3:6]
+        r_l = lie.mv(jnp.swapaxes(rot, -1, -2), c - pos)
+        return lie.mv(rot, v_l + jnp.cross(w_l, r_l))
 
     f_list, d_list = [], []
-    for ka, kb in pairs:
-        ra = contact_radii[ka] if ka < len(contact_radii) else 0.0
-        rb = contact_radii[kb] if kb < len(contact_radii) else 0.0
-        pa, va, wa = cache[ka]
-        pb, vb, wb = cache[kb]
-        d = pb - pa
+    for ga, gb in pairs:
+        ja, ra, a0, a1, rot_a, pos_a = world_seg(ga)
+        jb, rb, b0, b1, rot_b, pos_b = world_seg(gb)
+        ca, cb = closest_segment_points(a0, a1, b0, b1)
+        d = cb - ca
         dist = jnp.linalg.norm(d, axis=-1)
         n = d / jnp.maximum(dist, 1e-12)[..., None]  # from a towards b
         depth = dist - (ra + rb)  # negative = penetrating
         # Contact point: midpoint of the overlap segment
-        c = pa + (ra + 0.5 * depth)[..., None] * n
-        v_pa = va + jnp.cross(wa, c - pa)
-        v_pb = vb + jnp.cross(wb, c - pb)
-        v_rel = v_pb - v_pa  # velocity of b relative to a at the contact
+        c = ca + (ra + 0.5 * depth)[..., None] * n
+        v_rel = point_velocity(jb, rot_b, pos_b, c) - point_velocity(
+            ja, rot_a, pos_a, c
+        )
         # Same Kelvin–Voigt + saturated-friction law as ground contact
         # (force on body b along +n when penetrating)
         f_b = spring_damper_force_world(opts, n, depth, v_rel)
 
-        for k, sign, point in ((ka, -1.0, c), (kb, 1.0, c)):
-            parent = model.frame_parents[contact_frame_indices[k]]
-            rot_j = kin.omi.rot[..., parent, :, :]
-            pos_j = kin.omi.pos[..., parent, :]
+        for j, rot_j, pos_j, sign in ((ja, rot_a, pos_a, -1.0), (jb, rot_b, pos_b, 1.0)):
             f_w = sign * f_b
-            tau_w = jnp.cross(point - pos_j, f_w)
+            tau_w = jnp.cross(c - pos_j, f_w)
             rt = jnp.swapaxes(rot_j, -1, -2)
-            fext = fext.at[..., parent, 0:3].add(lie.mv(rt, tau_w))
-            fext = fext.at[..., parent, 3:6].add(lie.mv(rt, f_w))
+            fext = fext.at[..., j, 0:3].add(lie.mv(rt, tau_w))
+            fext = fext.at[..., j, 3:6].add(lie.mv(rt, f_w))
         f_list.append(f_b)
         d_list.append(depth)
     return fext, jnp.stack(f_list, axis=-2), jnp.stack(d_list, axis=-1)

@@ -149,7 +149,7 @@ class Engine:
         fast_enabled = fast_opt == "always" or (
             fast_opt is True and jax.default_backend() != "cpu"
         )
-        self._has_pairs = bool(robot.collision_pair_indices)
+        self._has_pairs = bool(robot.collision_pairs_geom)
         if (
             fast_enabled
             and not self.constraint_mode
@@ -308,9 +308,7 @@ class Engine:
             # spring-damper forces in BOTH contact modes (ground contacts may
             # still go through PGS; the pair forces ride in as joint wrenches).
             fext_pairs, pair_f, pair_depth = contact_mod.compute_pair_forces(
-                model, self.options.contacts, kin,
-                robot.contact_frame_indices, robot.contact_radii,
-                robot.collision_pair_indices,
+                model, self.options.contacts, kin, robot.collision_pairs_geom
             )
             fext_user = fext_pairs if fext_user is None else fext_user + fext_pairs
             aux_pairs = {"pair_f_world": pair_f, "pair_depth": pair_depth}
@@ -830,7 +828,10 @@ class Engine:
             "rolling_ref": roll_ref,
             "model": model_params,
         }
-        a0, aux = self.dynamics_full(jnp.asarray(0.0, self.dtype), q0, v0, command, carry0)
+        # `_final_eval` routes through the fused component-wise dynamics when
+        # available (bit-identical to `dynamics_full` at f64) — resets happen
+        # every step under auto-reset training, so this is a hot path.
+        a0, aux = self._final_eval(jnp.asarray(0.0, self.dtype), q0, v0, command, carry0)
         nc = len(self.robot.contact_frame_indices)
         st = SimState(
             t=jnp.asarray(0.0, self.dtype),

@@ -65,10 +65,11 @@ class Robot:
     # Rolling-without-slip user constraints: ({"frame_name", "radius", ["axis"]},)
     # (reference Sphere/WheelConstraint)
     rolling_specs: tuple = struct.field(pytree_node=False, default=())
-    # Body-vs-body narrowphase (self-collision): static (ka, kb) index pairs
-    # into contact_frame_indices/contact_radii (sphere-sphere tests; see
-    # `contact.compute_pair_forces`). Beyond-reference capability.
-    collision_pair_indices: tuple = struct.field(pytree_node=False, default=())
+    # Body-vs-body narrowphase (self-collision): static (ga, gb) geometry
+    # pairs with g = (parent_joint, radius, p0, p1) — a segment + radius in
+    # the parent joint frame (sphere: zero-length segment; capsule: its axis).
+    # See `contact.compute_pair_forces`. Beyond-reference capability.
+    collision_pairs_geom: tuple = struct.field(pytree_node=False, default=())
 
     @property
     def nq(self):
@@ -184,26 +185,23 @@ class Robot:
             )
             contact_idx = contact_idx + extra_idx
             radii += extra_radii
-        pair_idx: list = []
+        pair_geoms: list = []
         if collision_pairs:
-            def points_of(nm: str) -> list:
-                ks = [
-                    k
-                    for k, fi in enumerate(contact_idx)
-                    if model.frame_names[fi] == nm
-                    or model.frame_names[fi].startswith(nm + "_collision")
-                ]
-                if not ks:
+            geoms_by_name = _pair_geometries(model, collision_bodies, contact_idx)
+
+            def geoms_of(nm: str) -> list:
+                gs = geoms_by_name.get(nm)
+                if not gs:
                     raise ValueError(
                         f"collision pair link '{nm}' has no contact frame or "
                         "collision body"
                     )
-                return ks
+                return gs
 
             for nm_a, nm_b in collision_pairs:
-                for ka in points_of(nm_a):
-                    for kb in points_of(nm_b):
-                        pair_idx.append((ka, kb))
+                for ga in geoms_of(nm_a):
+                    for gb in geoms_of(nm_b):
+                        pair_geoms.append((ga, gb))
         suite = _build_sensor_suite(model, bank, sensors or {}, contact_idx, dtype)
         return Robot(
             name=name,
@@ -224,7 +222,7 @@ class Robot:
                 )
                 for r in rolling_constraints
             ),
-            collision_pair_indices=tuple(pair_idx),
+            collision_pairs_geom=tuple(pair_geoms),
         )
 
 
@@ -257,6 +255,93 @@ def _hull_downsample(points: np.ndarray, max_points: int) -> np.ndarray:
         chosen.append(nxt)
         d = np.minimum(d, np.linalg.norm(points - points[nxt], axis=1))
     return points[chosen]
+
+
+def _compose_origin(model: RobotModel, spec) -> tuple:
+    """(rot0, pos0): the geometry placement in the PARENT JOINT frame —
+    frame placement composed with the spec's optional `origin`."""
+    fidx = model.frame_index(spec["frame_name"])
+    rot0 = np.asarray(model.fplacement_rot[fidx])
+    pos0 = np.asarray(model.fplacement_pos[fidx])
+    o_rot, o_pos = spec.get("origin", (np.eye(3), np.zeros(3)))
+    return rot0 @ np.asarray(o_rot, float), pos0 + rot0 @ np.asarray(o_pos, float)
+
+
+def _pair_geometries(model: RobotModel, specs, contact_idx) -> dict:
+    """Resolve each link/frame name to narrowphase geometries for body-vs-body
+    pairs: (parent_joint, radius, p0, p1) — a segment + radius in the parent
+    joint frame. Sphere and capsule are exact (zero-length segment / the
+    capsule axis); box/cylinder/mesh degrade to one zero-length segment per
+    expanded candidate point; a bare contact frame is a radius-0 point."""
+    out: dict = {}
+
+    def add(nm, parent, r, p0, p1):
+        out.setdefault(nm, []).append(
+            (int(parent), float(r), tuple(map(float, p0)), tuple(map(float, p1)))
+        )
+
+    for spec in specs:
+        if not isinstance(spec, dict):
+            continue
+        nm = spec["frame_name"]
+        parent = model.frame_parents[model.frame_index(nm)]
+        rot0, pos0 = _compose_origin(model, spec)
+        geom = spec["geometry"]
+        if geom == "sphere":
+            add(nm, parent, spec["radius"], pos0, pos0)
+        elif geom == "capsule":
+            axis = np.asarray(spec.get("axis", (0.0, 0.0, 1.0)), float)
+            axis = axis / max(np.linalg.norm(axis), 1e-12)
+            half = 0.5 * float(spec["length"])
+            add(nm, parent, spec["radius"], pos0 - rot0 @ (axis * half),
+                pos0 + rot0 @ (axis * half))
+        else:
+            for off, r in _geometry_points(spec):
+                p = pos0 + rot0 @ off
+                add(nm, parent, r, p, p)
+    # Plain contact frames referenced by exact name
+    for fi in contact_idx:
+        nm = model.frame_names[fi]
+        if nm not in out:
+            parent = model.frame_parents[fi]
+            p = np.asarray(model.fplacement_pos[fi])
+            add(nm, parent, 0.0, p, p)
+    return out
+
+
+def _geometry_points(spec) -> list:
+    """Candidate points (offset, radius) covering a box/cylinder/mesh geometry
+    (shared with `_expand_collision_bodies`' ground-contact expansion)."""
+    geom = spec["geometry"]
+    if geom == "box":
+        sx, sy, sz = (0.5 * float(s) for s in spec["size"])
+        return [
+            (np.array([ex * sx, ey * sy, ez * sz]), 0.0)
+            for ex in (-1.0, 1.0)
+            for ey in (-1.0, 1.0)
+            for ez in (-1.0, 1.0)
+        ]
+    if geom == "cylinder":
+        axis = np.asarray(spec.get("axis", (0.0, 0.0, 1.0)), float)
+        axis = axis / max(np.linalg.norm(axis), 1e-12)
+        half = 0.5 * float(spec["length"])
+        rad = float(spec["radius"])
+        n_rim = int(spec.get("n_rim", 8))
+        ref = np.array([1.0, 0.0, 0.0])
+        if abs(axis @ ref) > 0.9:
+            ref = np.array([0.0, 1.0, 0.0])
+        u = np.cross(axis, ref)
+        u /= np.linalg.norm(u)
+        w = np.cross(axis, u)
+        return [
+            (end * half * axis + rad * (np.cos(a) * u + np.sin(a) * w), 0.0)
+            for end in (-1.0, 1.0)
+            for a in np.linspace(0.0, 2.0 * np.pi, n_rim, endpoint=False)
+        ]
+    if geom in ("mesh", "points"):
+        pts = _hull_downsample(spec["points"], int(spec.get("max_points", 16)))
+        return [(p, 0.0) for p in pts]
+    raise ValueError(f"unsupported collision geometry '{geom}'")
 
 
 def _expand_collision_bodies(model: RobotModel, specs) -> tuple:

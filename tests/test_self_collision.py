@@ -84,7 +84,7 @@ def _engine(robot):
 
 def test_pair_forces_equal_opposite_and_repulsive():
     robot = _dumbbell()
-    assert robot.collision_pair_indices  # pair resolved at build time
+    assert robot.collision_pairs_geom  # pair resolved at build time
     eng = _engine(robot)
     q0 = np.asarray(robot.model.neutral())
     st = eng.reset(jnp.asarray(q0))
@@ -94,9 +94,7 @@ def test_pair_forces_equal_opposite_and_repulsive():
 
     kin = forward_kinematics(robot.model, st.q, st.v, jnp.zeros_like(st.v))
     fext, f_pair, depth = contact_mod.compute_pair_forces(
-        robot.model, CONTACT, kin,
-        robot.contact_frame_indices, robot.contact_radii,
-        robot.collision_pair_indices,
+        robot.model, CONTACT, kin, robot.collision_pairs_geom
     )
     depth = np.asarray(depth)
     assert depth.shape == (1,)
@@ -145,6 +143,67 @@ def test_self_collision_repels_and_conserves_momentum():
     com1 = com_of(st.q)
     np.testing.assert_allclose(com1, com0, atol=1e-6)
     assert np.isfinite(np.asarray(st.q)).all()
+
+
+def test_capsule_capsule_midsegment_contact():
+    """Crossing capsules touch mid-segment — a contact that endpoint-sphere
+    approximations miss entirely (endpoint gap ~0.13); the exact
+    segment-segment narrowphase finds depth = 0.08 - 0.10 = -0.02, normal +z."""
+    model = build_model(
+        "cross",
+        [
+            {
+                "name": "root",
+                "type": JointType.FREE,
+                "parent": -1,
+                "mass": 1.0,
+                "com": np.zeros(3),
+                "inertia": np.eye(3) * 1e-2,
+            },
+            {
+                "name": "arm",
+                "type": JointType.REVOLUTE,
+                "parent": 0,
+                "axis": np.array([0.0, 0.0, 1.0]),
+                "placement": (np.eye(3), np.zeros(3)),
+                "mass": 1.0,
+                "com": np.zeros(3),
+                "inertia": np.eye(3) * 1e-2,
+            },
+        ],
+        [
+            {"name": "baseF", "parent": 0, "placement": (np.eye(3), np.zeros(3))},
+            {
+                "name": "tipF",
+                "parent": 1,
+                "placement": (np.eye(3), np.array([0.0, 0.0, 0.08])),
+            },
+        ],
+    )
+    robot = Robot.build(
+        model,
+        collision_bodies=[
+            {"frame_name": "baseF", "geometry": "capsule", "radius": 0.05,
+             "length": 0.3, "axis": (0.0, 1.0, 0.0)},
+            {"frame_name": "tipF", "geometry": "capsule", "radius": 0.05,
+             "length": 0.3, "axis": (1.0, 0.0, 0.0)},
+        ],
+        collision_pairs=[("baseF", "tipF")],
+    )
+    assert len(robot.collision_pairs_geom) == 1  # ONE exact pair, not 2x2 spheres
+
+    from jiminy_tpu.engine import contact as contact_mod
+
+    q0 = jnp.asarray(np.asarray(model.neutral()))
+    v0 = jnp.zeros((model.nv,), q0.dtype)
+    kin = forward_kinematics(model, q0, v0, jnp.zeros_like(v0))
+    _, f_pair, depth = contact_mod.compute_pair_forces(
+        model, CONTACT, kin, robot.collision_pairs_geom
+    )
+    np.testing.assert_allclose(np.asarray(depth)[0], -0.02, atol=1e-7)
+    f = np.asarray(f_pair)[0]
+    np.testing.assert_allclose(f[2], 2e3 * 0.02, rtol=1e-5)  # push arm up
+    np.testing.assert_allclose(f[:2], 0.0, atol=1e-8)
 
 
 def test_collision_pairs_in_constraint_contact_mode():
