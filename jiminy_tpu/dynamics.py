@@ -24,6 +24,30 @@ def compute_inverse_dynamics(robot, q, v, a, fext=None, gravity=(0.0, 0.0, -9.81
     return jnp.take(tau, vidx, axis=-1) / robot.motors.mechanical_reduction
 
 
+def convert_force_global_frame_to_joint(model, frame, f_global, q=None, kin=None):
+    """World-aligned wrench at a frame's origin -> LOCAL parent-joint spatial
+    force (the engine's `fext` convention).
+
+    Mirrors the reference helper (`utilities/pinocchio.cc:794-809`):
+    rotate both components into the parent joint frame, then shift the torque
+    by the frame's static placement lever. `f_global` is (..., 6) (ang, lin);
+    pass either `q` or a precomputed `kin` (forward_kinematics result).
+    """
+    fidx = model.frame_index(frame) if isinstance(frame, str) else int(frame)
+    parent = model.frame_parents[fidx]
+    if kin is None:
+        if q is None:
+            raise ValueError("pass q or kin")
+        kin = forward_kinematics(model, jnp.asarray(q, model.dtype))
+    rt = jnp.swapaxes(kin.omi.rot[..., parent, :, :], -1, -2)
+    f_global = jnp.asarray(f_global, model.dtype)
+    lin = lie.mv(rt, f_global[..., 3:6])
+    ang = lie.mv(rt, f_global[..., 0:3])
+    lever = jnp.asarray(model.fplacement_pos[fidx], model.dtype)
+    ang = ang + jnp.cross(lever, lin)
+    return jnp.concatenate([ang, lin], axis=-1)
+
+
 def compute_freeflyer_state_from_fixed_body(
     robot,
     q: jnp.ndarray,

@@ -158,6 +158,52 @@ def closest_segment_points(p1, q1, p2, q2, eps: float = 1e-12):
     return p1 + s[..., None] * d1, p2 + t_cl[..., None] * d2
 
 
+def _geom_world_segment(kin: KinData, g, dtype):
+    """World-frame segment of a pair geometry g = (parent_joint, r, p0, p1)."""
+    j, r, p0, p1 = g
+    rot = kin.omi.rot[..., j, :, :]
+    pos = kin.omi.pos[..., j, :]
+    a0 = pos + lie.mv(rot, jnp.asarray(p0, dtype))
+    a1 = pos + lie.mv(rot, jnp.asarray(p1, dtype)) if p1 != p0 else a0
+    return j, float(r), a0, a1, rot, pos
+
+
+def _point_velocity_world(kin: KinData, j, rot, pos, c):
+    """World velocity of a point c fixed to joint j (kin.vel is the LOCAL
+    joint spatial velocity, (ang, lin))."""
+    w_l = kin.vel[..., j, 0:3]
+    v_l = kin.vel[..., j, 3:6]
+    r_l = lie.mv(jnp.swapaxes(rot, -1, -2), c - pos)
+    return lie.mv(rot, v_l + jnp.cross(w_l, r_l))
+
+
+def pair_narrowphase_force(
+    opts: ContactOptions, kin_a: KinData, ga, kin_b: KinData, gb
+):
+    """Narrowphase + spring-damper force for one geometry pair; the two
+    geometries may belong to different robots (different kinematics).
+
+    Returns (c, f_b, depth, (ja, rot_a, pos_a), (jb, rot_b, pos_b)): world
+    contact point, force on body b (reaction -f_b on body a), signed gap."""
+    dtype = kin_a.vel.dtype
+    ja, ra, a0, a1, rot_a, pos_a = _geom_world_segment(kin_a, ga, dtype)
+    jb, rb, b0, b1, rot_b, pos_b = _geom_world_segment(kin_b, gb, dtype)
+    ca, cb = closest_segment_points(a0, a1, b0, b1)
+    d = cb - ca
+    dist = jnp.linalg.norm(d, axis=-1)
+    n = d / jnp.maximum(dist, 1e-12)[..., None]  # from a towards b
+    depth = dist - (ra + rb)  # negative = penetrating
+    # Contact point: midpoint of the overlap segment
+    c = ca + (ra + 0.5 * depth)[..., None] * n
+    v_rel = _point_velocity_world(kin_b, jb, rot_b, pos_b, c) - _point_velocity_world(
+        kin_a, ja, rot_a, pos_a, c
+    )
+    # Same Kelvin–Voigt + saturated-friction law as ground contact
+    # (force on body b along +n when penetrating)
+    f_b = spring_damper_force_world(opts, n, depth, v_rel)
+    return c, f_b, depth, (ja, rot_a, pos_a), (jb, rot_b, pos_b)
+
+
 def compute_pair_forces(
     model: RobotModel,
     opts: ContactOptions,
@@ -186,39 +232,11 @@ def compute_pair_forces(
     if not pairs:
         return fext, jnp.zeros(batch + (0, 3), dtype), jnp.zeros(batch + (0,), dtype)
 
-    def world_seg(g):
-        j, r, p0, p1 = g
-        rot = kin.omi.rot[..., j, :, :]
-        pos = kin.omi.pos[..., j, :]
-        a0 = pos + lie.mv(rot, jnp.asarray(p0, dtype))
-        a1 = pos + lie.mv(rot, jnp.asarray(p1, dtype)) if p1 != p0 else a0
-        return j, float(r), a0, a1, rot, pos
-
-    def point_velocity(j, rot, pos, c):
-        # kin.vel = LOCAL joint spatial velocity (ang, lin)
-        w_l = kin.vel[..., j, 0:3]
-        v_l = kin.vel[..., j, 3:6]
-        r_l = lie.mv(jnp.swapaxes(rot, -1, -2), c - pos)
-        return lie.mv(rot, v_l + jnp.cross(w_l, r_l))
-
     f_list, d_list = [], []
     for ga, gb in pairs:
-        ja, ra, a0, a1, rot_a, pos_a = world_seg(ga)
-        jb, rb, b0, b1, rot_b, pos_b = world_seg(gb)
-        ca, cb = closest_segment_points(a0, a1, b0, b1)
-        d = cb - ca
-        dist = jnp.linalg.norm(d, axis=-1)
-        n = d / jnp.maximum(dist, 1e-12)[..., None]  # from a towards b
-        depth = dist - (ra + rb)  # negative = penetrating
-        # Contact point: midpoint of the overlap segment
-        c = ca + (ra + 0.5 * depth)[..., None] * n
-        v_rel = point_velocity(jb, rot_b, pos_b, c) - point_velocity(
-            ja, rot_a, pos_a, c
+        c, f_b, depth, (ja, rot_a, pos_a), (jb, rot_b, pos_b) = (
+            pair_narrowphase_force(opts, kin, ga, kin, gb)
         )
-        # Same Kelvin–Voigt + saturated-friction law as ground contact
-        # (force on body b along +n when penetrating)
-        f_b = spring_damper_force_world(opts, n, depth, v_rel)
-
         for j, rot_j, pos_j, sign in ((ja, rot_a, pos_a, -1.0), (jb, rot_b, pos_b, 1.0)):
             f_w = sign * f_b
             tau_w = jnp.cross(c - pos_j, f_w)

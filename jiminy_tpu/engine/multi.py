@@ -42,6 +42,16 @@ class ViscoelasticCoupling:
         self.rest_length = rest_length
 
 
+class CollisionCoupling:
+    """Robot-robot contact: exact segment-segment narrowphase between
+    primitive geometries on two robots, spring-damper force with
+    action-reaction (beyond-reference; see `contact.pair_narrowphase_force`)."""
+
+    def __init__(self, robot1, robot2, geom_pairs: tuple):
+        self.robot1, self.robot2 = robot1, robot2
+        self.geom_pairs = geom_pairs  # static ((g1, g2), ...)
+
+
 class MultiRobotEngine:
     """Shared-stepper multi-robot engine.
 
@@ -61,6 +71,8 @@ class MultiRobotEngine:
         eng0 = self.engines[self.names[0]]
         self.dtype = eng0.dtype
         self.sensor_period = eng0.sensor_period
+        self.tick_period = eng0.tick_period
+        self.n_sensor_periods = eng0.n_sensor_periods
         self.n_substeps = eng0.n_substeps
         self.couplings: list = []
 
@@ -74,6 +86,26 @@ class MultiRobotEngine:
         self.couplings.append(
             ViscoelasticCoupling(robot1, f1, robot2, f2, stiffness, damping, rest_length)
         )
+
+    def register_collision_pair(self, robot1: str, spec1: dict,
+                                robot2: str, spec2: dict) -> None:
+        """Contact between a primitive on robot1 and one on robot2.
+
+        Specs use the `collision_bodies` format ({"frame_name", "geometry":
+        "sphere"|"capsule"|..., dimensions, optional "origin"}); each expands
+        to segment+radius geometries, tested pairwise (sphere/capsule exact;
+        box/cylinder/mesh via their candidate points). Contact parameters come
+        from robot1's engine ContactOptions."""
+        from jiminy_tpu.engine.robot import _pair_geometries
+
+        def geoms(robot, spec):
+            model = self.engines[robot].robot.model
+            return _pair_geometries(model, [spec], ())[spec["frame_name"]]
+
+        pairs = tuple(
+            (g1, g2) for g1 in geoms(robot1, spec1) for g2 in geoms(robot2, spec2)
+        )
+        self.couplings.append(CollisionCoupling(robot1, robot2, pairs))
 
     def register_coupling_force(self, robot1, frame1, robot2, frame2, force_fn) -> None:
         """Generic coupling: `force_fn(t, pose1, vel1, pose2, vel2) -> (6,)`
@@ -152,6 +184,29 @@ class MultiRobotEngine:
                 wrench1 = jnp.concatenate([f_ang, f_lin], axis=-1)
                 apply_world_wrench(cpl.robot1, cpl.frame1, wrench1)
                 apply_world_wrench(cpl.robot2, cpl.frame2, -wrench1)
+            elif isinstance(cpl, CollisionCoupling):
+                from jiminy_tpu.engine.contact import pair_narrowphase_force
+
+                opts = self.engines[cpl.robot1].options.contacts
+                kin_a, kin_b = kins[cpl.robot1], kins[cpl.robot2]
+                for ga, gb in cpl.geom_pairs:
+                    c, f_b, _, (ja, rot_a, pos_a), (jb, rot_b, pos_b) = (
+                        pair_narrowphase_force(opts, kin_a, ga, kin_b, gb)
+                    )
+                    for n, j, rot_j, pos_j, sign in (
+                        (cpl.robot1, ja, rot_a, pos_a, -1.0),
+                        (cpl.robot2, jb, rot_b, pos_b, 1.0),
+                    ):
+                        f_w = sign * f_b
+                        tau_w = jnp.cross(c - pos_j, f_w)
+                        rt = jnp.swapaxes(rot_j, -1, -2)
+                        fext[n] = (
+                            fext[n]
+                            .at[..., j, 0:3]
+                            .add(lie.mv(rt, tau_w))
+                            .at[..., j, 3:6]
+                            .add(lie.mv(rt, f_w))
+                        )
             else:
                 r1, f1, r2, f2, fn = cpl
                 p1, v1, w1 = frame_world(r1, f1)
@@ -172,12 +227,14 @@ class MultiRobotEngine:
 
     # ------------------------------------------------------------------ #
     def step(self, states: Dict[str, SimState], commands=None) -> Dict[str, SimState]:
-        """Advance all robots one controller period in lock-step (RK4/Euler)."""
+        """Advance all robots one controller period in lock-step (RK4/Euler):
+        `n_sensor_periods` sensor ticks, each integrated with `n_substeps`
+        fixed substeps, sensors refreshed per tick (mirrors `Engine.step`)."""
         if commands is None:
             commands = {n: states[n].command for n in self.names}
         commands = {n: jnp.asarray(commands[n], self.dtype) for n in self.names}
         carries = {n: self.engines[n]._carry_of(states[n]) for n in self.names}
-        dt = jnp.asarray(self.sensor_period / self.n_substeps, self.dtype)
+        dt = jnp.asarray(self.tick_period / self.n_substeps, self.dtype)
         euler = self.options.stepper.integrator == IntegratorType.EULER_EXPLICIT
 
         def f(t, qs, vs):
@@ -225,32 +282,38 @@ class MultiRobotEngine:
                 }
             return (t + dt, qs, vs), None
 
-        t0 = states[self.names[0]].t
-        qs = {n: states[n].q for n in self.names}
-        vs = {n: states[n].v for n in self.names}
-        (t_end, qs, vs), _ = jax.lax.scan(
-            substep, (t0, qs, vs), None, length=self.n_substeps
-        )
-        fext = self._coupling_fext(t_end, qs, vs)
-        out = {}
-        for n in self.names:
-            eng = self.engines[n]
-            q = integ.normalize(eng.robot.model, qs[n])
-            a, aux = eng.dynamics_full(
-                t_end, q, vs[n], commands[n], carries[n], fext_extra=fext[n]
+        def tick(states_c, _):
+            t0 = states_c[self.names[0]].t
+            qs = {n: states_c[n].q for n in self.names}
+            vs = {n: states_c[n].v for n in self.names}
+            (t_end, qs, vs), _ = jax.lax.scan(
+                substep, (t0, qs, vs), None, length=self.n_substeps
             )
-            st = states[n].replace(
-                t=t_end,
-                q=q,
-                v=vs[n],
-                a=a,
-                command=commands[n],
-                u_motor=aux["u_motor"],
-                contact_forces=aux["contact_f_world"],
-                contact_active=aux.get("contact_active", states[n].contact_active),
-                bound_active=aux.get("bound_active", states[n].bound_active),
-                lam=aux.get("lam", states[n].lam),
-            )
-            st = eng._update_sensors(st, a, aux)
-            out[n] = st
-        return out
+            fext = self._coupling_fext(t_end, qs, vs)
+            out = {}
+            for n in self.names:
+                eng = self.engines[n]
+                q = integ.normalize(eng.robot.model, qs[n])
+                a, aux = eng.dynamics_full(
+                    t_end, q, vs[n], commands[n], carries[n], fext_extra=fext[n]
+                )
+                st = states_c[n].replace(
+                    t=t_end,
+                    q=q,
+                    v=vs[n],
+                    a=a,
+                    command=commands[n],
+                    u_motor=aux["u_motor"],
+                    contact_forces=aux["contact_f_world"],
+                    contact_active=aux.get(
+                        "contact_active", states_c[n].contact_active
+                    ),
+                    bound_active=aux.get("bound_active", states_c[n].bound_active),
+                    lam=aux.get("lam", states_c[n].lam),
+                )
+                st = eng._update_sensors(st, a, aux)
+                out[n] = st
+            return out, None
+
+        states, _ = jax.lax.scan(tick, states, None, length=self.n_sensor_periods)
+        return states

@@ -90,6 +90,56 @@ class Robot:
         )
 
     # ------------------------------------------------------------------ #
+    # Theoretical <-> extended state mapping (reference `model.h:366-373`:
+    # getExtendedPositionFromTheoretical & co.). Joint names are preserved by
+    # the flexibility/backlash surgery, so the maps are static name matches.
+    # ------------------------------------------------------------------ #
+    def _state_index_maps(self):
+        """(ext_q<-th, ext_v<-th, th_q<-ext, th_v<-ext) static index arrays;
+        -1 marks extended-only slots (flexibility/backlash joints)."""
+        th, ext = self.theoretical_model, self.model
+        q_map = -np.ones(ext.nq, np.int64)
+        v_map = -np.ones(ext.nv, np.int64)
+        th_q = np.zeros(th.nq, np.int64)
+        th_v = np.zeros(th.nv, np.int64)
+        for j, nm in enumerate(ext.joint_names):
+            if nm not in th.joint_names:
+                continue
+            i = th.joint_names.index(nm)
+            for k in range(ext.nq_of(j)):
+                q_map[ext.idx_q[j] + k] = th.idx_q[i] + k
+                th_q[th.idx_q[i] + k] = ext.idx_q[j] + k
+            for k in range(ext.nv_of(j)):
+                v_map[ext.idx_v[j] + k] = th.idx_v[i] + k
+                th_v[th.idx_v[i] + k] = ext.idx_v[j] + k
+        return q_map, v_map, th_q, th_v
+
+    def extended_position_from_theoretical(self, q) -> jnp.ndarray:
+        """Theoretical q -> extended q, flexibility quaternions / backlash
+        angles at neutral. Batch-transparent on the leading axes."""
+        q_map, _, _, _ = self._state_index_maps()
+        q = jnp.asarray(q, self.model.dtype)
+        out = jnp.take(q, jnp.asarray(np.maximum(q_map, 0)), axis=-1)
+        return jnp.where(jnp.asarray(q_map) >= 0, out, self.model.neutral())
+
+    def extended_velocity_from_theoretical(self, v) -> jnp.ndarray:
+        """Theoretical v -> extended v (extended-only DoFs at rest)."""
+        _, v_map, _, _ = self._state_index_maps()
+        v = jnp.asarray(v, self.model.dtype)
+        out = jnp.take(v, jnp.asarray(np.maximum(v_map, 0)), axis=-1)
+        return jnp.where(jnp.asarray(v_map) >= 0, out, 0.0)
+
+    def theoretical_position_from_extended(self, q) -> jnp.ndarray:
+        """Extended q -> theoretical q (flexibility/backlash slots dropped)."""
+        _, _, th_q, _ = self._state_index_maps()
+        return jnp.take(jnp.asarray(q, self.model.dtype), jnp.asarray(th_q), axis=-1)
+
+    def theoretical_velocity_from_extended(self, v) -> jnp.ndarray:
+        """Extended v -> theoretical v."""
+        _, _, _, th_v = self._state_index_maps()
+        return jnp.take(jnp.asarray(v, self.model.dtype), jnp.asarray(th_v), axis=-1)
+
+    # ------------------------------------------------------------------ #
     @staticmethod
     def build(
         model_or_urdf,

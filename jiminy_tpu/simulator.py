@@ -178,15 +178,21 @@ class Simulator:
 
         `output_path` ending in ``.glb`` exports a self-contained glTF 2.0
         animation (openable in any glTF viewer — the headless-pod equivalent
-        of the reference's meshcat/panda3d replay); any other extension goes
-        through the matplotlib GIF backend.
+        of the reference's meshcat/panda3d replay); ``.html`` embeds that glb
+        in a standalone browser player (meshcat-equivalent, serverless); any
+        other extension goes through the matplotlib GIF backend.
         """
         from jiminy_tpu.telemetry import extract_trajectory_from_log
-        from jiminy_tpu.viewer import export_gltf, play_trajectories
+        from jiminy_tpu.viewer import export_gltf, export_html, play_trajectories
 
         if self._log is None:
             raise RuntimeError("no log recorded")
         traj = extract_trajectory_from_log(self._log)
+        if output_path is not None and output_path.endswith(".html"):
+            return export_html(
+                traj, output_path, robot=self.robot, fps=fps,
+                ground_fn=self.engine.ground_fn,
+            )
         if output_path is not None and output_path.endswith(".glb"):
             return export_gltf(
                 traj, output_path, robot=self.robot, fps=fps,

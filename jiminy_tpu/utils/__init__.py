@@ -1,6 +1,7 @@
 """Utilities: random processes, procedural terrain, profiling, helpers."""
 
 from jiminy_tpu.utils.profiling import Timer, timeit, trace
+from jiminy_tpu.utils.random import PCG32, normal, uniform
 from jiminy_tpu.utils.terrain import (
     PeriodicFourierProcess,
     PeriodicGaussianProcess,
@@ -23,6 +24,9 @@ __all__ = [
     "Timer",
     "timeit",
     "trace",
+    "PCG32",
+    "uniform",
+    "normal",
     "PeriodicGaussianProcess",
     "PeriodicFourierProcess",
     "perlin1",

@@ -206,6 +206,60 @@ def test_capsule_capsule_midsegment_contact():
     np.testing.assert_allclose(f[:2], 0.0, atol=1e-8)
 
 
+def test_robot_robot_collision_momentum_exchange():
+    """Two 1 kg sliders with collision spheres meet head-on in zero g: a
+    near-elastic spring contact transfers ~all momentum to the second body
+    (MultiRobotEngine.register_collision_pair, robot-robot narrowphase)."""
+    from jiminy_tpu.engine.multi import MultiRobotEngine
+
+    def slider(name):
+        m = build_model(
+            name,
+            [
+                {
+                    "name": "px",
+                    "type": JointType.PRISMATIC,
+                    "parent": -1,
+                    "axis": np.array([1.0, 0.0, 0.0]),
+                    "mass": 1.0,
+                    "com": np.zeros(3),
+                    "inertia": np.zeros((3, 3)),
+                }
+            ],
+            [{"name": "body", "parent": 0, "placement": (np.eye(3), np.zeros(3))}],
+        )
+        return Robot.build(m)
+
+    robots = {"a": slider("a"), "b": slider("b")}
+    opts = EngineOptions(
+        world=WorldOptions(gravity=(0.0, 0.0, 0.0)),
+        contacts=ContactOptions(stiffness=1e4, damping=0.0, friction=0.0,
+                                transition_eps=0.0),
+        stepper=StepperOptions(dt_max=1e-4),
+        controller_update_period=0.01,
+    )
+    eng = MultiRobotEngine(robots, opts)
+    sphere = {"frame_name": "body", "geometry": "sphere", "radius": 0.1}
+    eng.register_collision_pair("a", sphere, "b", sphere)
+
+    states = eng.reset(
+        {"a": jnp.array([0.0]), "b": jnp.array([0.5])},
+        {"a": jnp.array([1.0]), "b": jnp.array([0.0])},
+    )
+    step = jax.jit(eng.step)
+    for _ in range(80):  # 0.8 s: contact at ~0.3 s, brief bounce
+        states = step(states)
+    va = float(np.asarray(states["a"].v)[0])
+    vb = float(np.asarray(states["b"].v)[0])
+    # Momentum conserved exactly; equal masses + elastic contact swap velocity
+    np.testing.assert_allclose(va + vb, 1.0, atol=1e-6)
+    assert vb > 0.95 and abs(va) < 0.05
+    # They separated
+    xa = float(np.asarray(states["a"].q)[0])
+    xb = float(np.asarray(states["b"].q)[0])
+    assert xb - xa > 0.2
+
+
 def test_collision_pairs_in_constraint_contact_mode():
     """Pair forces also apply when ground contacts run through PGS."""
     from jiminy_tpu.engine.config import ContactModel
