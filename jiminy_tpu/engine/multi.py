@@ -229,60 +229,72 @@ class MultiRobotEngine:
     def step(self, states: Dict[str, SimState], commands=None) -> Dict[str, SimState]:
         """Advance all robots one controller period in lock-step (RK4/Euler):
         `n_sensor_periods` sensor ticks, each integrated with `n_substeps`
-        fixed substeps, sensors refreshed per tick (mirrors `Engine.step`)."""
+        fixed substeps.  Mirrors `Engine.step` per tick: carries (PGS warm
+        start, contact/bound active-set hysteresis) are recomputed from the
+        evolving per-tick states, the tick counter advances, and when the
+        controller runs faster than the sensors the refreshed rings/
+        measurements are only committed on the sensor-period grid."""
         if commands is None:
             commands = {n: states[n].command for n in self.names}
         commands = {n: jnp.asarray(commands[n], self.dtype) for n in self.names}
-        carries = {n: self.engines[n]._carry_of(states[n]) for n in self.names}
         dt = jnp.asarray(self.tick_period / self.n_substeps, self.dtype)
         euler = self.options.stepper.integrator == IntegratorType.EULER_EXPLICIT
 
-        def f(t, qs, vs):
-            return self._joint_accels(t, qs, vs, commands, carries)
+        def tick(states_c, _):
+            carries = {
+                n: self.engines[n]._carry_of(states_c[n]) for n in self.names
+            }
 
-        def substep(carry, _):
-            t, qs, vs = carry
-            if euler:
-                accels = f(t, qs, vs)
-                qs = {
-                    n: integ.integrate(self.engines[n].robot.model, qs[n], vs[n] * dt)
-                    for n in self.names
-                }
-                vs = {n: vs[n] + accels[n] * dt for n in self.names}
-            else:  # RK4 over the joint system
-                k1v, k1a = vs, f(t, qs, vs)
+            def f(t, qs, vs):
+                return self._joint_accels(t, qs, vs, commands, carries)
 
-                def adv(qs, vs, kv, ka, h):
-                    q2 = {
+            def substep(carry, _):
+                t, qs, vs = carry
+                if euler:
+                    accels = f(t, qs, vs)
+                    qs = {
                         n: integ.integrate(
-                            self.engines[n].robot.model, qs[n], kv[n] * h
+                            self.engines[n].robot.model, qs[n], vs[n] * dt
                         )
                         for n in self.names
                     }
-                    v2 = {n: vs[n] + ka[n] * h for n in self.names}
-                    return q2, v2
+                    vs = {n: vs[n] + accels[n] * dt for n in self.names}
+                else:  # RK4 over the joint system
+                    k1v, k1a = vs, f(t, qs, vs)
 
-                q2, v2 = adv(qs, vs, k1v, k1a, 0.5 * dt)
-                k2v, k2a = v2, f(t + 0.5 * dt, q2, v2)
-                q3, v3 = adv(qs, vs, k2v, k2a, 0.5 * dt)
-                k3v, k3a = v3, f(t + 0.5 * dt, q3, v3)
-                q4, v4 = adv(qs, vs, k3v, k3a, dt)
-                k4v, k4a = v4, f(t + dt, q4, v4)
-                qs = {
-                    n: integ.integrate(
-                        self.engines[n].robot.model,
-                        qs[n],
-                        (dt / 6.0) * (k1v[n] + 2 * k2v[n] + 2 * k3v[n] + k4v[n]),
-                    )
-                    for n in self.names
-                }
-                vs = {
-                    n: vs[n] + (dt / 6.0) * (k1a[n] + 2 * k2a[n] + 2 * k3a[n] + k4a[n])
-                    for n in self.names
-                }
-            return (t + dt, qs, vs), None
+                    def adv(qs, vs, kv, ka, h):
+                        q2 = {
+                            n: integ.integrate(
+                                self.engines[n].robot.model, qs[n], kv[n] * h
+                            )
+                            for n in self.names
+                        }
+                        v2 = {n: vs[n] + ka[n] * h for n in self.names}
+                        return q2, v2
 
-        def tick(states_c, _):
+                    q2, v2 = adv(qs, vs, k1v, k1a, 0.5 * dt)
+                    k2v, k2a = v2, f(t + 0.5 * dt, q2, v2)
+                    q3, v3 = adv(qs, vs, k2v, k2a, 0.5 * dt)
+                    k3v, k3a = v3, f(t + 0.5 * dt, q3, v3)
+                    q4, v4 = adv(qs, vs, k3v, k3a, dt)
+                    k4v, k4a = v4, f(t + dt, q4, v4)
+                    qs = {
+                        n: integ.integrate(
+                            self.engines[n].robot.model,
+                            qs[n],
+                            (dt / 6.0)
+                            * (k1v[n] + 2 * k2v[n] + 2 * k3v[n] + k4v[n]),
+                        )
+                        for n in self.names
+                    }
+                    vs = {
+                        n: vs[n]
+                        + (dt / 6.0)
+                        * (k1a[n] + 2 * k2a[n] + 2 * k3a[n] + k4a[n])
+                        for n in self.names
+                    }
+                return (t + dt, qs, vs), None
+
             t0 = states_c[self.names[0]].t
             qs = {n: states_c[n].q for n in self.names}
             vs = {n: states_c[n].v for n in self.names}
@@ -297,6 +309,9 @@ class MultiRobotEngine:
                 a, aux = eng.dynamics_full(
                     t_end, q, vs[n], commands[n], carries[n], fext_extra=fext[n]
                 )
+                tick_n = (
+                    states_c[n].tick + 1 if states_c[n].tick is not None else None
+                )
                 st = states_c[n].replace(
                     t=t_end,
                     q=q,
@@ -310,8 +325,29 @@ class MultiRobotEngine:
                     ),
                     bound_active=aux.get("bound_active", states_c[n].bound_active),
                     lam=aux.get("lam", states_c[n].lam),
+                    tick=tick_n,
                 )
-                st = eng._update_sensors(st, a, aux)
+                if eng.n_ctrl_per_sensor > 1:
+                    commit = (tick_n % eng.n_ctrl_per_sensor) == 0
+                    st3 = eng._update_sensors(st, a, aux)
+
+                    def sel(new, old):
+                        d = commit.reshape(
+                            commit.shape + (1,) * (new.ndim - commit.ndim)
+                        )
+                        return jnp.where(d, new, old)
+
+                    st = st.replace(
+                        sensor_rings=jax.tree.map(
+                            sel, st3.sensor_rings, st.sensor_rings
+                        ),
+                        measurements=jax.tree.map(
+                            sel, st3.measurements, st.measurements
+                        ),
+                        key=sel(st3.key, st.key),
+                    )
+                else:
+                    st = eng._update_sensors(st, a, aux)
                 out[n] = st
             return out, None
 

@@ -249,9 +249,23 @@ class Robot:
                 return gs
 
             for nm_a, nm_b in collision_pairs:
+                degenerate = True
                 for ga in geoms_of(nm_a):
                     for gb in geoms_of(nm_b):
                         pair_geoms.append((ga, gb))
+                        if ga[1] > 0.0 or gb[1] > 0.0:
+                            degenerate = False
+                if degenerate:
+                    import warnings
+
+                    warnings.warn(
+                        f"collision pair ({nm_a!r}, {nm_b!r}) resolves to "
+                        "zero-radius geometries on both sides: contact depth "
+                        "can never go negative, so the pair will never "
+                        "generate force. Attach a sphere/capsule/box/cylinder/"
+                        "mesh collision body to at least one side.",
+                        stacklevel=2,
+                    )
         suite = _build_sensor_suite(model, bank, sensors or {}, contact_idx, dtype)
         return Robot(
             name=name,
@@ -321,8 +335,12 @@ def _pair_geometries(model: RobotModel, specs, contact_idx) -> dict:
     """Resolve each link/frame name to narrowphase geometries for body-vs-body
     pairs: (parent_joint, radius, p0, p1) — a segment + radius in the parent
     joint frame. Sphere and capsule are exact (zero-length segment / the
-    capsule axis); box/cylinder/mesh degrade to one zero-length segment per
-    expanded candidate point; a bare contact frame is a radius-0 point."""
+    capsule axis); box/cylinder/mesh degrade to one sphere per expanded
+    candidate point, with an effective radius of half the local point spacing
+    (pulled inward toward the centroid so the sphere surface stays tangent to
+    the original vertex) — without it two non-sphere/capsule geometries could
+    never interpenetrate (depth = dist - 0 - 0 >= 0) and the pair would be a
+    silent no-op; a bare contact frame remains a radius-0 point."""
     out: dict = {}
 
     def add(nm, parent, r, p0, p1):
@@ -346,8 +364,24 @@ def _pair_geometries(model: RobotModel, specs, contact_idx) -> dict:
             add(nm, parent, spec["radius"], pos0 - rot0 @ (axis * half),
                 pos0 + rot0 @ (axis * half))
         else:
-            for off, r in _geometry_points(spec):
-                p = pos0 + rot0 @ off
+            pts = _geometry_points(spec)
+            offs = np.array([o for o, _ in pts], dtype=np.float64)
+            r_eff = 0.0
+            if len(offs) > 1:
+                d2 = np.sum(
+                    (offs[:, None, :] - offs[None, :, :]) ** 2, axis=-1
+                )
+                d2[np.arange(len(offs)), np.arange(len(offs))] = np.inf
+                r_eff = 0.5 * float(np.sqrt(d2.min()))
+            centroid = offs.mean(axis=0)
+            for off, _r in pts:
+                d = off - centroid
+                dist = float(np.linalg.norm(d))
+                # Pull inward by the radius so the sphere stays tangent to the
+                # vertex; cap by the centroid distance to keep it inside.
+                r = min(r_eff, dist) if r_eff > 0.0 else 0.0
+                p_local = off - (d / dist) * r if dist > 1e-12 else off
+                p = pos0 + rot0 @ p_local
                 add(nm, parent, r, p, p)
     # Plain contact frames referenced by exact name
     for fi in contact_idx:

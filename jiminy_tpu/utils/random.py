@@ -10,10 +10,14 @@ Design split (see package docstring of `jiminy_tpu.utils.terrain`): everything
 that runs *inside* jit (terrain noise, sensor noise, model randomization) uses
 stateless JAX threefry keys — the idiomatic TPU equivalent of a counter-based
 RNG. `PCG32` here is the *host-side* generator for API parity: seeding
-simulations, drawing initial conditions, and reproducing the reference's
-sequential-sampling semantics. It is the standard PCG-XSH-RR 64/32 ("pcg32")
-algorithm by M.E. O'Neill (public spec, pcg-random.org), implemented
-block-vectorized over numpy uint64 so large draws are O(n/1024) Python steps.
+simulations and drawing initial conditions. It implements the canonical
+published pcg32 (setseq XSH-RR 64/32) algorithm by M.E. O'Neill (public spec,
+pcg-random.org) and is bit-exact against its published test vectors
+(tests/test_random.py). Note the reference instead uses the pcg32_fast MCG
+XSH-RS variant (`random.cc:10-37`: `state |= 3`, no increment/stream), so
+seeded *sequences* do NOT bit-match the reference binary — only the
+distributional semantics and the API carry over. Implemented block-vectorized
+over numpy uint64 so large draws are O(n/1024) Python steps.
 """
 
 from __future__ import annotations
@@ -23,8 +27,9 @@ from typing import Optional, Sequence, Union
 import numpy as np
 
 _MULT = np.uint64(6364136223846793005)
-# Default state/stream of the reference constructor (`random.h:42`) and of the
-# canonical pcg32 setseq engine, respectively.
+# Default state/stream of the canonical pcg32 setseq engine (pcg-random.org;
+# the reference's pcg32_fast shares the state default, `random.h:42`, but has
+# no stream).
 _DEFAULT_STATE = 0xCAFEF00DD15EA5E5
 _DEFAULT_SEQ = 0xDA3E39CB94B95BDB
 
@@ -146,14 +151,32 @@ class PCG32:
         return out
 
     def integers(self, low: int, high: Optional[int] = None, size=None) -> np.ndarray:
-        """Uniform ints in [low, high) (numpy-Generator-style convenience)."""
+        """Uniform ints in [low, high) (numpy-Generator-style convenience).
+
+        Accepts scalar or tuple `size` (like uniform/normal). Unbiased for any
+        span: Lemire multiply-shift with rejection of the biased low band."""
         if high is None:
             low, high = 0, low
         span = int(high) - int(low)
-        words = self.random_raw(size if size is not None else 1)
-        vals = low + (words.astype(np.uint64) * np.uint64(span) >> np.uint64(32))
-        vals = vals.astype(np.int64)
-        return vals if size is not None else int(vals[0])
+        if span <= 0:
+            raise ValueError("high must be > low")
+        n = int(np.prod(size)) if size is not None else 1
+        words = self.random_raw(n)
+        span64 = np.uint64(span)
+        if span & (span - 1):  # non-power-of-two: reject the biased low band
+            threshold = np.uint32((-span) % span)
+            bad = (words.astype(np.uint64) * span64).astype(np.uint32) < threshold
+            while bad.any():
+                words[bad] = self.random_raw(int(bad.sum()))
+                bad &= (words.astype(np.uint64) * span64).astype(
+                    np.uint32
+                ) < threshold
+        vals = low + (words.astype(np.uint64) * span64 >> np.uint64(32)).astype(
+            np.int64
+        )
+        if size is None:
+            return int(vals[0])
+        return vals.reshape(size)
 
     def uniform(self, low=0.0, high=1.0, size=None):
         """float32 uniforms in [low, high) (reference `uniform`, random.h:213)."""

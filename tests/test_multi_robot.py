@@ -111,3 +111,31 @@ def test_multi_simulator_facade():
     assert np.isfinite(qa).all() and np.isfinite(qb).all()
     # spring coupling pulls the two masses toward each other
     assert abs(qa[-1] - qb[-1]) < abs(qa[0] - qb[0])
+
+
+def test_multi_step_mirrors_engine_step_semantics():
+    """MultiRobotEngine.step must mirror Engine.step per tick (ADVICE r2):
+    the tick counter advances once per sensor tick, and with no couplings the
+    trajectory is bit-identical to the single-robot Engine under the same
+    fixed-step integrator."""
+    from jiminy_tpu.engine import Engine
+    from jiminy_tpu.engine.config import WorldOptions
+
+    opts = EngineOptions(
+        world=WorldOptions(gravity=(0.0, 0.0, -9.81)),
+        stepper=StepperOptions(dt_max=1e-3),
+        controller_update_period=0.01,
+    )
+    robots = {"a": _mass_robot("a")}
+    multi = MultiRobotEngine(robots, opts)
+    single = Engine(_mass_robot("a"), opts)
+
+    states = multi.reset({"a": jnp.array([1.0])})
+    st = single.reset(jnp.array([1.0]))
+    tick0 = int(states["a"].tick)
+    for _ in range(3):
+        states = multi.step(states)
+        st = single.step(st)
+    assert int(states["a"].tick) - tick0 == 3 * multi.n_sensor_periods
+    np.testing.assert_array_equal(np.asarray(states["a"].q), np.asarray(st.q))
+    np.testing.assert_array_equal(np.asarray(states["a"].v), np.asarray(st.v))

@@ -93,3 +93,17 @@ def test_uniform_bit_exact_float_mapping():
     w = PCG32(42, 54).random_raw(16)
     u = g.uniform(size=(16,))
     np.testing.assert_array_equal(u, (w >> np.uint32(8)).astype(np.float32) * 2.0**-24)
+
+
+def test_integers_tuple_size_and_uniformity():
+    g = PCG32(11)
+    v = g.integers(0, 6, size=(2, 3))
+    assert v.shape == (2, 3)
+    assert v.min() >= 0 and v.max() < 6
+    # Unbiased for non-power-of-two spans (Lemire + rejection): all residues
+    # of a span-3 draw appear with near-equal frequency.
+    big = g.integers(0, 3, size=30000)
+    counts = np.bincount(big, minlength=3)
+    assert counts.min() > 9500
+    with np.testing.assert_raises(ValueError):
+        g.integers(5, 5)

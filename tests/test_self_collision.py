@@ -283,3 +283,94 @@ def test_collision_pairs_in_constraint_contact_mode():
     q_arm = float(np.asarray(st.q)[-1])
     assert abs(q_arm) > 1e-3
     assert np.isfinite(np.asarray(st.q)).all()
+
+
+def test_box_box_pair_gets_effective_radius():
+    """A pair where BOTH sides are boxes must still generate force: expanded
+    candidate points carry an effective radius (half the local point spacing),
+    so overlap produces depth < 0 (ADVICE r2: was a silent no-op)."""
+    model = build_model(
+        "boxes",
+        [
+            {
+                "name": "root",
+                "type": JointType.FREE,
+                "parent": -1,
+                "mass": 1.0,
+                "com": np.zeros(3),
+                "inertia": np.eye(3) * 1e-2,
+            },
+            {
+                "name": "arm",
+                "type": JointType.PRISMATIC,
+                "parent": 0,
+                "axis": np.array([1.0, 0.0, 0.0]),
+                "placement": (np.eye(3), np.zeros(3)),
+                "mass": 1.0,
+                "com": np.zeros(3),
+                "inertia": np.eye(3) * 1e-2,
+            },
+        ],
+        [
+            {"name": "baseF", "parent": 0, "placement": (np.eye(3), np.zeros(3))},
+            {"name": "tipF", "parent": 1, "placement": (np.eye(3), np.zeros(3))},
+        ],
+    )
+    robot = Robot.build(
+        model,
+        collision_bodies=[
+            {"frame_name": "baseF", "geometry": "box", "size": (0.2, 0.2, 0.2)},
+            {"frame_name": "tipF", "geometry": "box", "size": (0.2, 0.2, 0.2)},
+        ],
+        collision_pairs=[("baseF", "tipF")],
+    )
+    # Every expanded corner sphere has a positive effective radius
+    radii = [g[1] for ga, gb in robot.collision_pairs_geom for g in (ga, gb)]
+    assert all(r > 0.0 for r in radii)
+
+    from jiminy_tpu.engine import contact as contact_mod
+
+    # Fully coincident boxes: some pair must be in (deep) penetration
+    q0 = jnp.asarray(np.asarray(model.neutral()))
+    v0 = jnp.zeros((model.nv,), q0.dtype)
+    kin = forward_kinematics(model, q0, v0, jnp.zeros_like(v0))
+    _, _, depth = contact_mod.compute_pair_forces(
+        model, CONTACT, kin, robot.collision_pairs_geom
+    )
+    assert float(np.asarray(depth).min()) < -1e-3
+
+
+def test_degenerate_zero_radius_pair_warns():
+    """A pair resolving to radius-0 geometries on both sides (bare contact
+    frames) warns at build time instead of silently never producing force."""
+    import warnings
+
+    model = build_model(
+        "frames",
+        [
+            {
+                "name": "root",
+                "type": JointType.FREE,
+                "parent": -1,
+                "mass": 1.0,
+                "com": np.zeros(3),
+                "inertia": np.eye(3) * 1e-2,
+            },
+        ],
+        [
+            {"name": "fA", "parent": 0, "placement": (np.eye(3), np.zeros(3))},
+            {
+                "name": "fB",
+                "parent": 0,
+                "placement": (np.eye(3), np.array([0.1, 0.0, 0.0])),
+            },
+        ],
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        Robot.build(
+            model,
+            contact_frames=["fA", "fB"],
+            collision_pairs=[("fA", "fB")],
+        )
+    assert any("zero-radius" in str(w.message) for w in caught)
