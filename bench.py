@@ -26,7 +26,10 @@ REFERENCE_STEPS_PER_SEC = 3650.0  # pipeline_benchmark.py:46 (1 env, 1 CPU core)
 
 
 def main():
-    batch = int(os.environ.get("BENCH_BATCH", "8192"))
+    # Default sized from the measured v5e throughput curve: 8192 -> 1.63M,
+    # 16384 -> 1.64M, 32768 -> 1.90M, 65536 -> 1.98M env-steps/s (fused
+    # whole-env-step rollout, tile 1024).
+    batch = int(os.environ.get("BENCH_BATCH", "65536"))
     n_steps = int(os.environ.get("BENCH_STEPS", "25"))
     pallas_tile = int(os.environ.get("BENCH_PALLAS", "1024"))
     env_name = os.environ.get("BENCH_ENV", "anymal-pid")
@@ -61,6 +64,10 @@ def main():
         env.engine.options = env.engine.options.replace(pallas_tile=pallas_tile)
         if env.engine._cdyn is not None:
             env.engine._cdyn.pallas_tile = pallas_tile
+    if hasattr(env, "use_fused_rollout"):
+        # BENCH_FUSED=0 forces the per-controller-period scan instead of the
+        # whole-env-step fused rollout kernel (A/B knob).
+        env.use_fused_rollout = os.environ.get("BENCH_FUSED", "1") != "0"
 
     keys = jax.random.split(jax.random.PRNGKey(0), batch)
     reset = jax.jit(jax.vmap(env.reset))

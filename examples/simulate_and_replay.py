@@ -3,6 +3,14 @@
 
 from __future__ import annotations
 
+import os
+import sys
+
+# Allow running straight from a source checkout: `python examples/...py`
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
+
 import jax.numpy as jnp
 
 from jiminy_tpu.envs.builders import anymal_standing_pose, build_anymal

@@ -9,6 +9,13 @@ all-reduced by XLA. Checkpoints via Orbax (resumable mid-training).
 from __future__ import annotations
 
 import argparse
+import os
+import sys
+
+# Allow running straight from a source checkout: `python examples/...py`
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
 
 import jax
 from jax.sharding import Mesh

@@ -44,6 +44,15 @@ def host_controller(
         result_shape = jax.ShapeDtypeStruct(tuple(batch) + (n_motors,), out_dtype)
 
         def host_fn(t_, q_, v_, meas_):
+            # Coerce to REAL numpy before handing off to user code: newer JAX
+            # passes jax.Arrays into callbacks, and any indexing/math on those
+            # dispatches an eager op on the callback thread — which deadlocks
+            # against the enclosing computation on the CPU client.  The
+            # reference's functor boundary hands out numpy views too
+            # (`jiminy_pywrap/utilities.h` Eigen<->numpy), so this also matches
+            # its semantics exactly.
+            t_, q_, v_ = np.asarray(t_), np.asarray(q_), np.asarray(v_)
+            meas_ = jax.tree.map(np.asarray, meas_)
             cmd = np.asarray(fn(t_, q_, v_, meas_), dtype=out_dtype)
             return np.broadcast_to(cmd, tuple(np.shape(t_)) + (n_motors,))
 
@@ -75,7 +84,7 @@ def host_force(
         result_shape = jax.ShapeDtypeStruct(tuple(batch) + (6,), out_dtype)
 
         def host_fn(t_):
-            w = np.asarray(fn(t_), dtype=out_dtype)
+            w = np.asarray(fn(np.asarray(t_)), dtype=out_dtype)
             return np.broadcast_to(w, tuple(np.shape(t_)) + (6,))
 
         return jax.pure_callback(

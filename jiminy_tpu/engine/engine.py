@@ -1107,6 +1107,185 @@ class Engine:
         return state.replace(q=q, v=v), a, aux, new_stepper
 
     # ------------------------------------------------------------------ #
+    # Fused whole-env-step rollout (controller traced into the kernel)
+    # ------------------------------------------------------------------ #
+    @property
+    def supports_fused_rollout(self) -> bool:
+        """True when `step_rollout_fused` can replace a scan of per-period
+        `step` calls bit-for-bit: fixed-step fused fast path active, one
+        sensor tick per controller period, and every sensor group delay- and
+        noise-free (the in-kernel controller reads encoders straight from the
+        state, so rings/noise/bias must not alter the measurement)."""
+        fused_kind = self.options.stepper.integrator in (
+            IntegratorType.EULER_EXPLICIT,
+            IntegratorType.RUNGE_KUTTA_4,
+        )
+        groups = list(self.robot.sensors.groups())
+        clean_sensors = all(
+            not self._group_needs_ring.get(n, True)
+            and not self._group_has_noise.get(n, True)
+            for n, _ in groups
+        )
+        import numpy as _np
+
+        bias_free = all(
+            not _np.any(_np.asarray(getattr(g, "bias", 0.0)) != 0.0)
+            for _, g in groups
+        )
+        fused_core = self._cdyn is not None or (
+            # Constrained path: bounds/contacts/loops through the in-kernel
+            # Gauss-Seidel solve, per-tick warm-start refresh done in-kernel
+            self._cdyn_cm is not None
+            and not self._has_pairs
+            and self.cset.total_rows > 0
+        )
+        return (
+            fused_kind
+            and fused_core
+            and self.external_force_fn is None
+            and self.n_sensor_periods == 1
+            and self.n_ctrl_per_sensor == 1
+            and clean_sensors
+            and bias_free
+            and (
+                self.robot.flexibility is None
+                or not self.robot.flexibility.joint_indices
+            )
+        )
+
+    def _get_rollout_run(self, cache_key: str, controller_fn, n_carry: int,
+                         n_action: int, n_periods: int):
+        run = self._period_runs.get(("rollout", cache_key, n_periods))
+        if run is None:
+            kind = {
+                IntegratorType.EULER_EXPLICIT: "euler",
+                IntegratorType.RUNGE_KUTTA_4: "rk4",
+            }[self.options.stepper.integrator]
+            if self._cdyn is not None:
+                run = self._cdyn.make_rollout_integrator(
+                    self._build_tau_c(),
+                    self.tick_period / self.n_substeps,
+                    self.n_substeps,
+                    n_periods,
+                    controller_fn,
+                    n_carry,
+                    n_action,
+                    self.robot.nmotors,
+                    integrator=kind,
+                    pallas_tile=self._cdyn.pallas_tile,
+                    imu_frames=self._imu_frames,
+                )
+            else:
+                from jiminy_tpu.engine.solver import (
+                    make_constrained_rollout_integrator,
+                )
+
+                omega = 2.0 * math.pi * self.options.contacts.stabilization_freq
+                run = make_constrained_rollout_integrator(
+                    self._cdyn_cm,
+                    self._build_tau_c(),
+                    {} if self.constraint_mode else self._bound_gains,
+                    self.tick_period / self.n_substeps,
+                    self.n_substeps,
+                    kind,
+                    self.cset,
+                    self.ground_fn if self.constraint_mode else None,
+                    omega * omega,
+                    2.0 * omega,
+                    self.options.contacts.transition_eps,
+                    self.options.contacts.friction,
+                    self.options.contacts.torsion,
+                    self.options.stepper.pgs_regularization,
+                    self.options.stepper.pgs_iter_max,
+                    self.robot.nmotors,
+                    n_periods,
+                    controller_fn,
+                    n_carry,
+                    n_action,
+                    pallas_tile=self.options.pallas_tile,
+                    imu_frames=self._imu_frames,
+                )
+            self._period_runs[("rollout", cache_key, n_periods)] = run
+        return run
+
+    def step_rollout_fused(self, state: SimState, action, controller_fn,
+                           carry, n_periods: int, cache_key: str):
+        """Advance `n_periods` controller periods with the controller
+        re-evaluated IN-KERNEL at every period boundary (the reference's
+        FunctionalController semantics, fused).  `controller_fn(qc, vc, bc,
+        ac) -> (cc, bc')` is component-wise; `carry` is its (..., n_carry)
+        flat state.  Returns (state', carry').  Caller must check
+        `supports_fused_rollout` and `state.model_params is None`."""
+        robot = self.robot
+        nm = robot.nmotors
+        action = jnp.asarray(action, self.dtype)
+        nv = robot.nv
+        nc = len(robot.contact_frame_indices)
+        ni = len(self._imu_frames)
+        cset = self.cset
+        constrained = self._cdyn is None
+        if constrained:
+            # Constrained core: distance/rolling refs ride the action row,
+            # lam/active-set hysteresis ride the carry (refreshed per tick
+            # in-kernel); see `make_constrained_rollout_integrator` layouts.
+            dtype = state.q.dtype
+            action_ext = jnp.concatenate(
+                [action, state.distance_ref, state.rolling_ref], axis=-1
+            )
+            carry_ext = jnp.concatenate(
+                [
+                    carry,
+                    state.lam,
+                    state.contact_active.astype(dtype),
+                    state.bound_active.astype(dtype),
+                ],
+                axis=-1,
+            )
+            n_lam, n_cact, n_bact = (
+                cset.total_rows, cset.n_contacts, cset.n_bounds
+            )
+        else:
+            action_ext, carry_ext = action, carry
+            n_lam = n_cact = n_bact = 0
+        n_block_carry = carry.shape[-1]
+        run = self._get_rollout_run(
+            cache_key, controller_fn, n_block_carry, action.shape[-1],
+            n_periods,
+        )
+        q, v, extras = run(state.q, state.v, action_ext, carry_ext)
+        n_std = nv + nc * 10 + ni * 6 + n_lam + n_cact + n_bact
+        n_ccrow = extras.shape[-1] - n_std - carry_ext.shape[-1]
+        command = extras[..., n_std : n_std + nm]
+        carry_new = extras[
+            ..., n_std + n_ccrow : n_std + n_ccrow + n_block_carry
+        ]
+        a, aux = self._unpack_period_extras(
+            extras[..., :n_std], command, v,
+            n_lam=n_lam, n_cact=n_cact, n_bact=n_bact,
+        )
+        st = state.replace(
+            t=state.t + jnp.asarray(n_periods * self.tick_period, self.dtype),
+            q=integ.normalize(robot.model, q),
+            v=v,
+            a=a,
+            command=command,
+            u_motor=aux["u_motor"],
+            contact_forces=aux["contact_f_world"],
+            contact_active=aux.get("contact_active", state.contact_active),
+            bound_active=aux.get("bound_active", state.bound_active),
+            lam=aux.get("lam", state.lam),
+            stepper=state.stepper.replace(
+                iterations=state.stepper.iterations
+                + n_periods * self.n_substeps
+            ),
+            tick=(
+                state.tick + n_periods if state.tick is not None else None
+            ),
+        )
+        st = self._update_sensors(st, a, aux)
+        return st, carry_new
+
+    # ------------------------------------------------------------------ #
     # Public stepping API
     # ------------------------------------------------------------------ #
     def step(self, state: SimState, command=None) -> SimState:

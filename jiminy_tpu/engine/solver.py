@@ -706,6 +706,7 @@ def make_constrained_period_integrator(
     n_cmd: int,
     pallas_tile: int = 0,
     imu_frames: tuple = (),
+    _return_core: bool = False,
 ):
     """Fused whole-period integrator for the GENERAL constrained path: joint
     bounds, friction-cone ground contacts (CONSTRAINT contact mode) and
@@ -859,6 +860,18 @@ def make_constrained_period_integrator(
         v_n = [vc[k] + dv[k] for k in range(nv)]
         return q_n, v_n
 
+    if _return_core:
+        # Expose the closures for `make_constrained_rollout_integrator` (the
+        # multi-tick fused rollout reuses the exact same component math).
+        return {
+            "split_cc": split_cc,
+            "accel": accel,
+            "final_outputs": final_outputs,
+            "substep": substep,
+            "n_extra": n_extra,
+            "dims": (nq, nv, nd, nb, nc, nr, n, ni, nc_out),
+        }
+
     def run_xla(q, v, cc_arr):
         cc = [cc_arr[..., i] for i in range(cc_arr.shape[-1])]
         batch = jnp.broadcast_shapes(q.shape[:-1], v.shape[:-1])
@@ -911,6 +924,105 @@ def make_constrained_period_integrator(
         return run_xla(q, v, cc_arr)
 
     return run
+
+
+def make_constrained_rollout_integrator(
+    cdyn_obj,
+    tau_c_fn,
+    bound_gains: dict,
+    dt: float,
+    n_substeps: int,
+    integrator: str,
+    cset,
+    ground_fn,
+    kp: float,
+    kd: float,
+    transition_eps: float,
+    friction: float,
+    torsion: float,
+    regularization: float,
+    iter_max: int,
+    n_cmd: int,
+    n_ticks: int,
+    block_controller_fn,
+    n_block_carry: int,
+    n_action: int,
+    pallas_tile: int = 0,
+    imu_frames: tuple = (),
+):
+    """Fused WHOLE-ENV-STEP integrator for the constrained path: `n_ticks`
+    controller periods in ONE kernel launch per env tile, with the controller
+    block evaluated in-kernel at each period boundary AND the per-tick PGS
+    warm-start / active-set hysteresis refresh (`Engine.step`'s per-tick
+    carry recomputation) done in-kernel too.
+
+    Row layouts:
+    - "action" input  = `[env action (n_action) | distance_ref (nd) |
+      rolling_ref (nr)]` (constant across the env step)
+    - "carry"  input  = `[block carry (n_block_carry) | lam (N) |
+      contact_active (nc) | bound_active (nb)]`
+    - extras output   = the period-integrator extras (`[a | f_world | w_local
+      | depth | imu | lam | cact | bact]`) + `[cc_row_final | carry']`."""
+    core = make_constrained_period_integrator(
+        cdyn_obj, tau_c_fn, bound_gains, dt, n_substeps, integrator, cset,
+        ground_fn, kp, kd, transition_eps, friction, torsion, regularization,
+        iter_max, n_cmd, pallas_tile=0, imu_frames=imu_frames,
+        _return_core=True,
+    )
+    nq, nv, nd, nb, nc, nr, n, ni, nc_out = core["dims"]
+    n_carry = n_block_carry + n + nc + nb
+    n_ccrow = n_cmd + nd + n + nc + nb + nr
+    accel = core["accel"]
+
+    def controller_fn(qc, vc, bc, ac):
+        bs = bc[:n_block_carry]
+        lamc = bc[n_block_carry : n_block_carry + n]
+        cactf = bc[n_block_carry + n : n_block_carry + n + nc]
+        bactf = bc[n_block_carry + n + nc :]
+        drefc = ac[n_action : n_action + nd]
+        rollrefc = ac[n_action + nd :]
+        cmd, bs2 = block_controller_fn(qc, vc, bs, ac[:n_action])
+        cc = (
+            list(cmd) + list(drefc) + list(lamc) + list(cactf)
+            + list(bactf) + list(rollrefc)
+        )
+        return cc, list(bs2) + list(lamc) + list(cactf) + list(bactf)
+
+    def post_tick_fn(qc, vc, cc, bc):
+        # End-of-tick solve: refresh warm-start multipliers + hysteresis masks
+        # (mirrors the aux write-back of `Engine.step` at each sensor tick).
+        dtype = jnp.result_type(*(qc + vc))
+        _, lam2, _, _, cact2, bact2 = accel(qc, vc, cc, dtype)
+        return (
+            list(bc[:n_block_carry])
+            + list(lam2)
+            + [jnp.where(a, 1.0, 0.0) for a in cact2]
+            + [jnp.where(a, 1.0, 0.0) for a in bact2]
+        )
+
+    from jiminy_tpu.ops.cdyn import make_generic_rollout
+
+    def pallas_ok():
+        return cdyn_obj._pallas_ground_ok() and (
+            ground_fn is None
+            or getattr(ground_fn, "height_components", None) is not None
+        )
+
+    return make_generic_rollout(
+        cdyn_obj,
+        core["substep"],
+        core["final_outputs"],
+        core["n_extra"],
+        n_substeps,
+        n_ticks,
+        controller_fn,
+        n_carry,
+        n_action + nd + nr,
+        n_ccrow,
+        pallas_tile=pallas_tile,
+        pallas_ok=pallas_ok,
+        post_tick_fn=post_tick_fn,
+    )
 
 
 def _unrolled_ldl_solve(m: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:

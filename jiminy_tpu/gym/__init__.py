@@ -24,6 +24,7 @@ from jiminy_tpu.gym.pipeline import (
 )
 from jiminy_tpu.gym.wrappers import (
     FilterObservation,
+    FlattenAction,
     FlattenObservation,
     NormalizeAction,
     NormalizeObservation,
@@ -45,6 +46,7 @@ __all__ = [
     "ComposedEnv",
     "build_pipeline",
     "load_pipeline",
+    "FlattenAction",
     "FlattenObservation",
     "FilterObservation",
     "NormalizeObservation",

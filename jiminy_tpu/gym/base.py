@@ -61,6 +61,8 @@ class BaseEnv:
             raise ValueError("step_dt must be a multiple of the controller period")
         self.horizon = horizon
         self.debug = debug
+        # Per-block component controllers, lazily built for the fused rollout
+        self._component_controllers: Dict[str, Any] = {}
 
     # ------------------------------------------------------------------ #
     # Spaces (shape/dtype metadata; bounds for wrappers)
@@ -173,6 +175,28 @@ class BaseEnv:
             ctrl_substep, (state.sim, carry), None, length=self.n_ctrl_per_step
         )
         return (*self._finalize_step(state, action, sim), carry)
+
+    def step_with_fused_controller(self, state: EnvState, action, block,
+                                   block_state):
+        """`step_with_controller` with the controller block traced INTO the
+        fused env-step kernel (`Engine.step_rollout_fused`): all
+        `n_ctrl_per_step` controller periods — block update + physics
+        substeps — run as ONE Pallas kernel launch per env tile instead of a
+        scan of per-period kernels with the block glue as separate XLA ops.
+        Bit-identical to `step_with_controller` for delay/noise-free sensors
+        (tests/test_fused_rollout.py).  Returns the step tuple + block state."""
+        cfn = self._component_controllers.get(block.name)
+        if cfn is None:
+            cfn = block.component_controller(self)
+            self._component_controllers[block.name] = cfn
+        fn, n_carry = cfn
+        carry = block_state.reshape(block_state.shape[:-2] + (n_carry,))
+        sim, carry = self.engine.step_rollout_fused(
+            state.sim, action, fn, carry, self.n_ctrl_per_step,
+            cache_key=block.name,
+        )
+        block_state = carry.reshape(block_state.shape)
+        return (*self._finalize_step(state, action, sim), block_state)
 
     # ------------------------------------------------------------------ #
     # Convenience rollout (single env or under vmap)

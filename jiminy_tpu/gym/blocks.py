@@ -127,6 +127,77 @@ class PDController:
         u = jnp.clip(u, -self._effort_limit, self._effort_limit)
         return u, cs
 
+    # -- fused in-kernel form ------------------------------------------- #
+    def component_controller(self, env):
+        """Component-wise form of `compute` for the engine's fused rollout
+        (`Engine.step_rollout_fused`): the ZOH command-state integration,
+        encoder read-out and PD law as per-motor elementwise math, traced
+        into the Pallas env-step kernel.  Carry layout = the flattened
+        (3, nm) command state `[pos* | vel* | acc*]`.  Ops mirror
+        `integrate_zoh`/`compute` term-for-term, so the fused rollout is
+        bit-identical to the per-period path at f64
+        (tests/test_fused_rollout.py).  Returns (cfn, n_carry)."""
+        from jiminy_tpu.models import joints as jt
+
+        enc = env.robot.sensors.encoder
+        nm = env.robot.motors.nmotors
+        kp = np.broadcast_to(np.asarray(self.kp, float), (nm,))
+        kd = np.broadcast_to(np.asarray(self.kd, float), (nm,))
+        smin = np.asarray(self._state_min, float)  # (3, nm)
+        smax = np.asarray(self._state_max, float)
+        eff = np.asarray(self._effort_limit, float)
+        red = np.asarray(enc.reduction, float)
+        qidx, vidx = enc.q_indices, enc.v_indices
+        jtypes, jside = enc.joint_types, enc.joint_side
+        dt = float(self._dt)
+
+        def cfn(qc, vc, bc, ac):
+            cc = []
+            bc_new = [None] * (3 * nm)
+            for i in range(nm):
+                p, vel = bc[i], bc[nm + i]
+                acc_min, acc_max = smin[2, i], smax[2, i]
+                accel = jnp.clip(ac[i], acc_min, acc_max)
+                v_prev = vel
+                vel = jnp.clip(vel + accel * dt, smin[1, i], smax[1, i])
+                horizon = jnp.maximum(
+                    jnp.floor(jnp.abs(v_prev) / acc_max / dt) * dt, dt
+                )
+                pos_min_d = smin[0, i] - p
+                pos_max_d = smax[0, i] - p
+                drift = jnp.where(
+                    horizon > dt, 0.5 * (horizon * (horizon - dt)) * acc_max, 0.0
+                )
+                vel = jnp.clip(
+                    vel, (pos_min_d - drift) / horizon,
+                    (pos_max_d + drift) / horizon,
+                )
+                over = jnp.abs(vel) > dt * acc_max
+                safe_v = jnp.where(jnp.abs(vel) > 1e-12, vel, 1.0)
+                v_lo2 = -jnp.maximum((pos_min_d - drift) / safe_v, dt) * acc_max
+                v_hi2 = jnp.maximum((pos_max_d + drift) / safe_v, dt) * acc_max
+                vel = jnp.where(over, jnp.clip(vel, v_lo2, v_hi2), vel)
+                accel_out = (vel - v_prev) / dt
+                p = p + dt * vel
+                # Encoder raw (delay/noise/bias-free — gated by
+                # `Engine.supports_fused_rollout`)
+                if jt.JointType(jtypes[i]) == jt.JointType.REVOLUTE_UNBOUNDED:
+                    pos_m = jnp.arctan2(qc[qidx[i] + 1], qc[qidx[i]])
+                else:
+                    pos_m = qc[qidx[i]]
+                vel_m = vc[vidx[i]]
+                if not jside[i]:
+                    pos_m = pos_m * red[i]
+                    vel_m = vel_m * red[i]
+                u = kp[i] * ((p - pos_m) + kd[i] * (vel - vel_m))
+                cc.append(jnp.clip(u, -eff[i], eff[i]))
+                bc_new[i] = p
+                bc_new[nm + i] = vel
+                bc_new[2 * nm + i] = accel_out
+            return cc, bc_new
+
+        return cfn, 3 * nm
+
 
 class PDAdapter:
     """Adapter exposing target motor positions (order 0) or velocities (order 1)

@@ -61,10 +61,15 @@ class ControlledEnv(_Wrapper):
     the block output feeds the inner env (reference `ControlledJiminyEnv`,
     `bases/pipeline.py:1029`)."""
 
-    def __init__(self, env, block, augment_observation: bool = True):
+    def __init__(self, env, block, augment_observation: bool = True,
+                 use_fused_rollout: bool = True):
         super().__init__(env)
         self.block = block
         self.augment_observation = augment_observation
+        # Trace the block into the fused env-step kernel when the engine
+        # supports it (delay/noise-free sensors, fixed-step fused core) —
+        # bit-identical to the per-period path; disable to force the scan.
+        self.use_fused_rollout = use_fused_rollout
 
     @property
     def action_size(self):
@@ -100,6 +105,26 @@ class ControlledEnv(_Wrapper):
             # `PDController`): re-evaluate the block at EVERY controller
             # update period inside the physics loop, exactly like the
             # reference's FunctionalController bridge — not once per env step.
+            if (
+                self.use_fused_rollout
+                and hasattr(self.block, "component_controller")
+                and self.env.engine.supports_fused_rollout
+                and state.sim.model_params is None
+            ):
+                # Fused fast path: the block update is traced INTO the
+                # env-step kernel — one launch per tile for the whole step.
+                (state, _, reward, terminated, truncated, info, bstate) = (
+                    self.env.step_with_fused_controller(
+                        state, action, self.block,
+                        state.blocks[self.block.name],
+                    )
+                )
+                state = state.replace(
+                    blocks={**state.blocks, self.block.name: bstate}
+                )
+                return (state, self.observe(state), reward, terminated,
+                        truncated, info)
+
             def controller(st_view, bstate):
                 obs = self.env.observe(st_view)
                 return self.block.compute(action, obs, bstate)

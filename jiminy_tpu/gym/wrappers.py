@@ -9,6 +9,7 @@ from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from jiminy_tpu.gym.pipeline import _Wrapper
 
@@ -113,6 +114,36 @@ class NormalizeObservation(ScaleObservation):
 
     def _apply(self, obs):
         return jax.tree.map(lambda x, m, s: (x - m) / s, obs, self.mean, self.std)
+
+
+class FlattenAction(_Wrapper):
+    """Expose a flat action vector for a nested/pytree action interface
+    (reference `FlattenAction`).  The inner env's action template is taken
+    from a zero action; incoming flat vectors are split and reshaped back."""
+
+    def __init__(self, env, template=None):
+        super().__init__(env)
+        if template is None:
+            template = jnp.zeros((env.action_size,))
+        self._template = template
+        leaves = jax.tree.leaves(template)
+        self._sizes = [int(np.prod(jnp.shape(x))) for x in leaves]
+        self.action_size = int(sum(self._sizes))
+
+    def _unflatten(self, action):
+        action = jnp.asarray(action)
+        leaves, treedef = jax.tree.flatten(self._template)
+        out, off = [], 0
+        for leaf, n in zip(leaves, self._sizes):
+            batch = action.shape[:-1]
+            out.append(
+                action[..., off : off + n].reshape(batch + jnp.shape(leaf))
+            )
+            off += n
+        return jax.tree.unflatten(treedef, out)
+
+    def step(self, state, action):
+        return self.env.step(state, self._unflatten(action))
 
 
 class ScaleAction(_Wrapper):

@@ -688,6 +688,58 @@ class ComponentDynamics:
         return out
 
     # ---------------- fused multi-substep integration ----------------
+    def _build_final_outputs(self, tau_c_fn, imu_frames):
+        """End-of-period solved accel + aux as one flat component list:
+        `[a (nv) | f_world (nc*3) | w_local (nc*6) | depth (nc) | imu (ni*6)]`."""
+
+        def final_outputs(qc, vc, cc):
+            ac = self._accel_core(qc, vc, tau_c_fn(qc, vc, cc))[0]
+            fw, wl, depth, imu = self._aux_components(qc, vc, ac, imu_frames)
+            extras = list(ac)
+            for r in fw:
+                extras.extend(r)
+            for r in wl:
+                extras.extend(r)
+            extras.extend(depth)
+            for r in imu:
+                extras.extend(r)
+            return extras
+
+        return final_outputs
+
+    def _build_substep(self, tau_c_fn, dt: float, integrator: str):
+        """One fixed-dt integration substep, component lists in/out."""
+        nv = self.model.nv
+
+        def substep(qc, vc, cc):
+            k1a = self._accel_core(qc, vc, tau_c_fn(qc, vc, cc))[0]
+            if integrator == "euler":
+                q_n = self.integrate_components(qc, [dt * x for x in vc])
+                v_n = [vc[k] + dt * k1a[k] for k in range(nv)]
+                return q_n, v_n
+            q2 = self.integrate_components(qc, [0.5 * dt * x for x in vc])
+            v2 = [vc[k] + 0.5 * dt * k1a[k] for k in range(nv)]
+            k2a = self._accel_core(q2, v2, tau_c_fn(q2, v2, cc))[0]
+            q3 = self.integrate_components(qc, [0.5 * dt * x for x in v2])
+            v3 = [vc[k] + 0.5 * dt * k2a[k] for k in range(nv)]
+            k3a = self._accel_core(q3, v3, tau_c_fn(q3, v3, cc))[0]
+            q4 = self.integrate_components(qc, [dt * x for x in v3])
+            v4 = [vc[k] + dt * k3a[k] for k in range(nv)]
+            k4a = self._accel_core(q4, v4, tau_c_fn(q4, v4, cc))[0]
+            dq = [
+                (dt / 6.0) * (vc[k] + 2.0 * v2[k] + 2.0 * v3[k] + v4[k])
+                for k in range(nv)
+            ]
+            dv = [
+                (dt / 6.0) * (k1a[k] + 2.0 * k2a[k] + 2.0 * k3a[k] + k4a[k])
+                for k in range(nv)
+            ]
+            q_n = self.integrate_components(qc, dq)
+            v_n = [vc[k] + dv[k] for k in range(nv)]
+            return q_n, v_n
+
+        return substep
+
     def make_period_integrator(
         self,
         tau_c_fn,
@@ -718,47 +770,11 @@ class ComponentDynamics:
         with_outputs = imu_frames is not None
         ni = len(imu_frames) if with_outputs else 0
         n_extra = nv + nc * 10 + ni * 6 if with_outputs else 0
-
-        def final_outputs(qc, vc, cc):
-            """End-of-period solved accel + aux, as one flat component list."""
-            ac = self._accel_core(qc, vc, tau_c_fn(qc, vc, cc))[0]
-            fw, wl, depth, imu = self._aux_components(qc, vc, ac, imu_frames)
-            extras = list(ac)
-            for r in fw:
-                extras.extend(r)
-            for r in wl:
-                extras.extend(r)
-            extras.extend(depth)
-            for r in imu:
-                extras.extend(r)
-            return extras
-
-        def substep(qc, vc, cc):
-            k1a = self._accel_core(qc, vc, tau_c_fn(qc, vc, cc))[0]
-            if integrator == "euler":
-                q_n = self.integrate_components(qc, [dt * x for x in vc])
-                v_n = [vc[k] + dt * k1a[k] for k in range(nv)]
-                return q_n, v_n
-            q2 = self.integrate_components(qc, [0.5 * dt * x for x in vc])
-            v2 = [vc[k] + 0.5 * dt * k1a[k] for k in range(nv)]
-            k2a = self._accel_core(q2, v2, tau_c_fn(q2, v2, cc))[0]
-            q3 = self.integrate_components(qc, [0.5 * dt * x for x in v2])
-            v3 = [vc[k] + 0.5 * dt * k2a[k] for k in range(nv)]
-            k3a = self._accel_core(q3, v3, tau_c_fn(q3, v3, cc))[0]
-            q4 = self.integrate_components(qc, [dt * x for x in v3])
-            v4 = [vc[k] + dt * k3a[k] for k in range(nv)]
-            k4a = self._accel_core(q4, v4, tau_c_fn(q4, v4, cc))[0]
-            dq = [
-                (dt / 6.0) * (vc[k] + 2.0 * v2[k] + 2.0 * v3[k] + v4[k])
-                for k in range(nv)
-            ]
-            dv = [
-                (dt / 6.0) * (k1a[k] + 2.0 * k2a[k] + 2.0 * k3a[k] + k4a[k])
-                for k in range(nv)
-            ]
-            q_n = self.integrate_components(qc, dq)
-            v_n = [vc[k] + dv[k] for k in range(nv)]
-            return q_n, v_n
+        final_outputs = (
+            self._build_final_outputs(tau_c_fn, imu_frames) if with_outputs
+            else None
+        )
+        substep = self._build_substep(tau_c_fn, dt, integrator)
 
         def run_xla(q, v, cmd):
             # Substeps via `lax.scan` so trace/compile cost is one substep
@@ -818,6 +834,56 @@ class ComponentDynamics:
             return run_xla(q, v, cmd)
 
         return run
+
+    def make_rollout_integrator(
+        self,
+        tau_c_fn,
+        dt: float,
+        n_substeps: int,
+        n_ticks: int,
+        controller_fn,
+        n_carry: int,
+        n_action: int,
+        n_cmd: int,
+        integrator: str = "rk4",
+        pallas_tile: int = 0,
+        imu_frames: tuple = (),
+    ):
+        """Fused WHOLE-ENV-STEP integrator: `n_ticks` controller periods, each
+        `n_substeps` fixed substeps, with the controller itself re-evaluated
+        in-kernel at every period boundary — the TPU-first form of the
+        reference's FunctionalController bridge (`controller_functor.h:27`:
+        the control pipeline runs inside the physics loop at its own update
+        period).  One kernel launch per env tile covers the full env step —
+        no per-period kernel dispatch, no HBM round trips of the state
+        between controller updates.
+
+        `controller_fn(qc, vc, bc, ac) -> (cc, bc')` is component-wise: `bc`
+        is the controller carry (`n_carry` channels, e.g. the PD command
+        state), `ac` the env-level action (`n_action` channels, constant
+        across the env step), `cc` the motor command (`n_cmd` channels).
+
+        Returned callable: `(q, v, action, carry) -> (q', v', extras)` with
+        `extras = [a | f_world | w_local | depth | imu | cc_final (n_cmd) |
+        carry' (n_carry)]` — the standard period-integrator extras layout
+        plus the last tick's command and the updated controller carry."""
+        nc = len(self.contact_frames)
+        ni = len(imu_frames)
+        n_extra_std = self.model.nv + nc * 10 + ni * 6
+        return make_generic_rollout(
+            self,
+            self._build_substep(tau_c_fn, dt, integrator),
+            self._build_final_outputs(tau_c_fn, imu_frames),
+            n_extra_std,
+            n_substeps,
+            n_ticks,
+            controller_fn,
+            n_carry,
+            n_action,
+            n_cmd,
+            pallas_tile=pallas_tile,
+            pallas_ok=self._pallas_ground_ok,
+        )
 
     def _accel_core(self, qc, vc, tc):
         """Component-level dynamics core: lists in, lists out (used directly
@@ -1288,6 +1354,238 @@ def _pallas_period_fn(cd: "ComponentDynamics", substep, n_substeps: int,
             )
         q_new, v_new = outs
         return from_tiles(q_new, nq), from_tiles(v_new, nv)
+
+    return run
+
+
+def make_generic_rollout(cd, substep, final_outputs, n_extra_std: int,
+                         n_substeps: int, n_ticks: int, controller_fn,
+                         n_carry: int, n_action: int, n_cmd: int,
+                         pallas_tile: int = 0, pallas_ok=None,
+                         post_tick_fn=None):
+    """Shared scaffolding for fused multi-tick rollout integrators (spring and
+    constrained paths): XLA scan fallback + Pallas kernel dispatch per tile.
+
+    - `controller_fn(qc, vc, bc, ac) -> (cc, bc')` runs at each tick START
+      (command assembly + controller carry update).
+    - `post_tick_fn(qc, vc, cc, bc) -> bc'` (optional) runs at each tick END —
+      the constrained path refreshes the PGS warm-start multipliers and the
+      active-set hysteresis masks there, mirroring the per-tick carry
+      recomputation of `Engine.step`.
+    - extras = `final_outputs(q_end, v_end, cc_last) + cc_last + bc_final`."""
+
+    def run_xla(q, v, action, carry):
+        nq_, nv_ = q.shape[-1], v.shape[-1]
+        ac = [action[..., i] for i in range(n_action)]
+        batch = jnp.broadcast_shapes(q.shape[:-1], v.shape[:-1])
+
+        def stack(comps):
+            return jnp.stack(
+                [jnp.broadcast_to(x, batch).astype(q.dtype) for x in comps],
+                axis=-1,
+            )
+
+        def tick_body(c, _):
+            qa, va, ba, _cca = c
+            cc, bc2 = controller_fn(
+                [qa[..., i] for i in range(nq_)],
+                [va[..., i] for i in range(nv_)],
+                [ba[..., i] for i in range(n_carry)],
+                ac,
+            )
+
+            def sub_body(c2, _):
+                qa2, va2 = c2
+                qo, vo = substep(
+                    [qa2[..., i] for i in range(nq_)],
+                    [va2[..., i] for i in range(nv_)],
+                    cc,
+                )
+                return (stack(qo), stack(vo)), None
+
+            if n_substeps == 1:
+                (qa, va), _ = sub_body((qa, va), None)
+            else:
+                (qa, va), _ = jax.lax.scan(
+                    sub_body, (qa, va), None, length=n_substeps
+                )
+            if post_tick_fn is not None:
+                bc2 = post_tick_fn(
+                    [qa[..., i] for i in range(nq_)],
+                    [va[..., i] for i in range(nv_)],
+                    cc,
+                    bc2,
+                )
+            return (qa, va, stack(bc2), stack(cc)), None
+
+        cc0 = jnp.zeros(batch + (n_cmd,), q.dtype)
+        (q_new, v_new, b_new, cc_fin), _ = jax.lax.scan(
+            tick_body, (q, v, carry, cc0), None, length=n_ticks
+        )
+        extras = final_outputs(
+            [q_new[..., i] for i in range(nq_)],
+            [v_new[..., i] for i in range(nv_)],
+            [cc_fin[..., i] for i in range(n_cmd)],
+        )
+        extras_all = stack(extras)
+        return (
+            q_new,
+            v_new,
+            jnp.concatenate([extras_all, cc_fin, b_new], axis=-1),
+        )
+
+    if not pallas_tile:
+        return run_xla
+    pallas_runs = {}
+
+    def run(q, v, action, carry):
+        if q.ndim == 2 and (pallas_ok is None or pallas_ok()):
+            b = q.shape[0]
+            for tile in (pallas_tile, 4096, 2048, 1024, 512, 256):
+                if tile and b % tile == 0 and tile % 128 == 0:
+                    if tile not in pallas_runs:
+                        pallas_runs[tile] = _pallas_rollout_fn(
+                            cd,
+                            substep,
+                            n_substeps,
+                            n_ticks,
+                            controller_fn,
+                            n_carry,
+                            n_action,
+                            n_cmd,
+                            tile=tile,
+                            final_outputs=final_outputs,
+                            n_extra_std=n_extra_std,
+                            post_tick_fn=post_tick_fn,
+                        )
+                    return pallas_runs[tile](q, v, action, carry)
+        return run_xla(q, v, action, carry)
+
+    return run
+
+
+def _pallas_rollout_fn(cd: "ComponentDynamics", substep, n_substeps: int,
+                       n_ticks: int, controller_fn, n_carry: int,
+                       n_action: int, n_cmd: int, tile: int = 1024,
+                       final_outputs=None, n_extra_std: int = 0,
+                       post_tick_fn=None):
+    """The WHOLE env step — `n_ticks` controller periods, the in-kernel
+    controller update at each period boundary, and `n_substeps` integration
+    substeps per period — as ONE Pallas kernel per env tile.
+
+    vs `_pallas_period_fn` (one kernel per controller period): an 8-period
+    env step needs 8 kernel dispatches with the controller glue (command
+    state ZOH integration, encoder read-out, effort clipping) running as
+    dozens of small XLA ops between launches.  Here the controller is traced
+    INTO the kernel (it is component-wise elementwise math), so per env step
+    HBM traffic is one read of (q, v, action, carry) and one write of
+    (q', v', extras) — nothing in between."""
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    model = cd.model
+    nq, nv = model.nq, model.nv
+    sub = tile // 128
+    n_extra = n_extra_std + n_cmd + n_carry
+
+    def kernel(q_ref, v_ref, a_ref, b_ref, qo_ref, vo_ref, eo_ref):
+        ac = [a_ref[0, i] for i in range(n_action)]
+        dtype = qo_ref.dtype
+
+        def tile_of(x):
+            return jnp.broadcast_to(x, (sub, 128)).astype(dtype)
+
+        def tick_body(_, carry):
+            qs, vs, bs, _cc = carry
+            cc, bs2 = controller_fn(list(qs), list(vs), list(bs), ac)
+
+            def body(_, c2):
+                qs2, vs2 = c2
+                qo, vo = substep(list(qs2), list(vs2), cc)
+                return (
+                    tuple(tile_of(x) for x in qo),
+                    tuple(tile_of(x) for x in vo),
+                )
+
+            if n_substeps == 1:
+                qs, vs = body(0, (qs, vs))
+            else:
+                qs, vs = jax.lax.fori_loop(0, n_substeps, body, (qs, vs))
+            if post_tick_fn is not None:
+                bs2 = post_tick_fn(list(qs), list(vs), cc, bs2)
+            return (
+                qs,
+                vs,
+                tuple(tile_of(x) for x in bs2),
+                tuple(tile_of(x) for x in cc),
+            )
+
+        qs0 = tuple(q_ref[0, i] for i in range(nq))
+        vs0 = tuple(v_ref[0, i] for i in range(nv))
+        bs0 = tuple(b_ref[0, i] for i in range(n_carry))
+        cc0 = tuple(
+            jnp.zeros((sub, 128), dtype) for _ in range(n_cmd)
+        )
+        if n_ticks == 1:
+            qs, vs, bs, cc = tick_body(0, (qs0, vs0, bs0, cc0))
+        else:
+            qs, vs, bs, cc = jax.lax.fori_loop(
+                0, n_ticks, tick_body, (qs0, vs0, bs0, cc0)
+            )
+        for i in range(nq):
+            qo_ref[0, i] = tile_of(qs[i])
+        for i in range(nv):
+            vo_ref[0, i] = tile_of(vs[i])
+        extras = final_outputs(list(qs), list(vs), list(cc))
+        extras = list(extras) + list(cc) + list(bs)
+        assert len(extras) == n_extra, (
+            f"extras layout mismatch: {len(extras)} != {n_extra}"
+        )
+        for i in range(n_extra):
+            eo_ref[0, i] = tile_of(extras[i])
+
+    def run(q, v, action, carry):
+        b = q.shape[0]
+        g = b // tile
+        na = max(n_action, 1)
+        nb = max(n_carry, 1)
+        if action.shape[-1] == 0:
+            action = jnp.zeros(action.shape[:-1] + (1,), q.dtype)
+        if carry.shape[-1] == 0:
+            carry = jnp.zeros(carry.shape[:-1] + (1,), q.dtype)
+
+        def to_tiles(x, n):
+            return x.reshape(g, sub, 128, n).transpose(0, 3, 1, 2)
+
+        spec = lambda n: pl.BlockSpec(
+            (1, n, sub, 128), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        )
+        q_new, v_new, extras = pl.pallas_call(
+            kernel,
+            grid=(g,),
+            in_specs=[spec(nq), spec(nv), spec(na), spec(nb)],
+            out_specs=[spec(nq), spec(nv), spec(n_extra)],
+            out_shape=[
+                jax.ShapeDtypeStruct((g, nq, sub, 128), q.dtype),
+                jax.ShapeDtypeStruct((g, nv, sub, 128), q.dtype),
+                jax.ShapeDtypeStruct((g, n_extra, sub, 128), q.dtype),
+            ],
+        )(
+            to_tiles(q, nq),
+            to_tiles(v, nv),
+            to_tiles(action, na),
+            to_tiles(carry, nb),
+        )
+
+        def from_tiles(x, n):
+            return x.transpose(0, 2, 3, 1).reshape(b, n)
+
+        return (
+            from_tiles(q_new, nq),
+            from_tiles(v_new, nv),
+            from_tiles(extras, n_extra),
+        )
 
     return run
 

@@ -73,6 +73,35 @@ class Simulator:
         """Reseed the simulation RNG (reference `Simulator.seed`, :525)."""
         self._seed = int(seed)
 
+    def register_impulse_force(self, *args, **kwargs) -> None:
+        """Forward to `Engine.register_impulse_force` (reference
+        `Simulator.register_impulse_force`, simulator.py:499).  Must be called
+        before `start` — forces are baked into the jitted step."""
+        if self._is_running:
+            raise RuntimeError("register forces before starting the simulation")
+        self.engine.register_impulse_force(*args, **kwargs)
+
+    def register_profile_force(self, *args, **kwargs) -> None:
+        """Forward to `Engine.register_profile_force` (reference
+        `Simulator.register_profile_force`, simulator.py:458)."""
+        if self._is_running:
+            raise RuntimeError("register forces before starting the simulation")
+        self.engine.register_profile_force(*args, **kwargs)
+
+    def reset(self, remove_all_forces: bool = False) -> None:
+        """Drop the current simulation state (reference `Simulator.reset`,
+        simulator.py:547); optionally clear registered forces."""
+        self.state = None
+        self._is_running = False
+        if remove_all_forces:
+            self.engine.remove_forces()
+
+    def close(self) -> None:
+        """Release the facade's state (reference `Simulator.close`)."""
+        self.reset()
+        self._log = None
+        self._recorder = None
+
     def start(self, q_init, v_init=None) -> None:
         """Initialize a new simulation (reference `Simulator.start`)."""
         key = jax.random.PRNGKey(self._seed)

@@ -143,3 +143,33 @@ wrapper = "jiminy_tpu.gym.wrappers:FlattenObservation"
     env = load_pipeline(str(p))
     st, obs = env.reset(jax.random.PRNGKey(0))
     assert obs.shape == (4,)
+
+
+def test_flatten_action():
+    """FlattenAction splits a flat vector back into the env's action pytree
+    (reference `FlattenAction`)."""
+    import jax.tree_util  # noqa: F401
+
+    from jiminy_tpu.gym import FlattenAction
+
+    env = make("cartpole")
+
+    class DictActionEnv:
+        def __init__(self, env):
+            self.env = env
+            self.action_size = env.action_size
+
+        def __getattr__(self, name):
+            return getattr(self.env, name)
+
+        def step(self, state, action):
+            assert isinstance(action, dict)
+            return self.env.step(state, action["force"])
+
+    wrapped = FlattenAction(
+        DictActionEnv(env), template={"force": jnp.zeros((1,))}
+    )
+    assert wrapped.action_size == 1
+    st, _ = wrapped.reset(jax.random.PRNGKey(0))
+    st, obs, r, te, tr, _ = jax.jit(wrapped.step)(st, jnp.array([0.3]))
+    assert obs.shape == (4,)
