@@ -63,6 +63,10 @@ class BaseEnv:
         self.debug = debug
         # Per-block component controllers, lazily built for the fused rollout
         self._component_controllers: Dict[str, Any] = {}
+        # Route step()/step_with_fused_controller through the whole-env-step
+        # rollout kernel when the engine supports it (set False to force the
+        # per-period scan — bit-identical either way)
+        self.use_fused_rollout = True
 
     # ------------------------------------------------------------------ #
     # Spaces (shape/dtype metadata; bounds for wrappers)
@@ -148,6 +152,25 @@ class BaseEnv:
     def step(self, state: EnvState, action):
         obs = self.observe(state)
         command = self._action_to_command(state, action, obs)
+        if (
+            self.use_fused_rollout
+            and self.engine.supports_fused_rollout
+            and state.sim.model_params is None
+        ):
+            # ZOH command for the whole env step: the rollout kernel with a
+            # pass-through "controller" — all n_ctrl_per_step engine ticks in
+            # one kernel launch per tile (bit-identical to the scan below).
+            nm = self.robot.nmotors
+
+            def passthrough(qc, vc, bc, ac):
+                return list(ac[:nm]), list(bc)
+
+            carry = jnp.zeros(state.sim.q.shape[:-1] + (0,), state.sim.q.dtype)
+            sim, _ = self.engine.step_rollout_fused(
+                state.sim, command, passthrough, carry,
+                self.n_ctrl_per_step, cache_key="zoh",
+            )
+            return self._finalize_step(state, action, sim)
 
         def ctrl_substep(sim, _):
             return self.engine.step(sim, command), None

@@ -1380,6 +1380,8 @@ def make_generic_rollout(cd, substep, final_outputs, n_extra_std: int,
         batch = jnp.broadcast_shapes(q.shape[:-1], v.shape[:-1])
 
         def stack(comps):
+            if not comps:  # zero-width carry/command (e.g. ZOH pass-through)
+                return jnp.zeros(batch + (0,), q.dtype)
             return jnp.stack(
                 [jnp.broadcast_to(x, batch).astype(q.dtype) for x in comps],
                 axis=-1,

@@ -228,3 +228,47 @@ def test_fused_rollout_falls_back_under_model_randomization():
     for _ in range(3):
         st, obs, r, te, tr, _ = step(st, jnp.zeros((2,), st.sim.q.dtype))
     assert np.isfinite(np.asarray(st.sim.q)).all()
+
+
+def test_zoh_fused_step_matches_scan():
+    """Plain BaseEnv.step (constant command per env step, e.g. the toys) also
+    routes through the rollout kernel with a pass-through controller —
+    bit-identical to the per-period engine.step scan."""
+    def build():
+        opts = EngineOptions(
+            use_fast_dynamics="always",
+            stepper=StepperOptions(
+                integrator=IntegratorType.RUNGE_KUTTA_4, dt_max=2e-3
+            ),
+            controller_update_period=0.01,
+            sensor_update_period=0.01,
+            joint_bounds_mode="penalty",
+        )
+        base = BaseEnv(_arm_robot(), opts, step_dt=0.04, horizon=100)
+        base._sample_state = lambda key: (
+            jnp.array([0.3, -0.5], base.engine.dtype),
+            jnp.zeros((2,), base.engine.dtype),
+        )
+        return base
+
+    env_f = build()
+    env_r = build()
+    assert env_f.engine.supports_fused_rollout
+    env_r.use_fused_rollout = False  # force the per-period scan path
+
+    key = jax.random.PRNGKey(7)
+    st_f, _ = env_f.reset(key)
+    st_r, _ = env_r.reset(key)
+    step_f = jax.jit(env_f.step)
+    step_r = jax.jit(env_r.step)
+    action = jnp.array([3.0, -2.0], env_f.engine.dtype)
+    for _ in range(6):
+        st_f, *_ = step_f(st_f, action)
+        st_r, *_ = step_r(st_r, action)
+    np.testing.assert_array_equal(np.asarray(st_f.sim.q), np.asarray(st_r.sim.q))
+    np.testing.assert_array_equal(np.asarray(st_f.sim.v), np.asarray(st_r.sim.v))
+    np.testing.assert_array_equal(
+        np.asarray(st_f.sim.measurements["encoder"]),
+        np.asarray(st_r.sim.measurements["encoder"]),
+    )
+    assert int(st_f.sim.tick) == int(st_r.sim.tick)
