@@ -1,0 +1,74 @@
+"""Multi-device sharding on the virtual 8-CPU mesh (SURVEY §2.8: env batch
+data-parallel over the mesh, learner grads all-reduced by XLA — the TPU-native
+replacement for the reference's Ray/SubprocVecEnv process vectorization)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from jiminy_tpu.envs import make
+from jiminy_tpu.gym import FlattenObservation
+
+
+def _mesh():
+    devices = jax.devices()
+    assert len(devices) >= 8, "conftest must provide 8 virtual CPU devices"
+    return Mesh(np.array(devices[:8]), ("data",))
+
+
+def test_sharded_env_rollout_matches_unsharded():
+    """A vmapped env batch sharded over the mesh steps without collectives and
+    matches the unsharded trajectory bit-for-bit."""
+    env = make("cartpole")
+    mesh = _mesh()
+    n = 16
+    keys = jax.random.split(jax.random.PRNGKey(0), n)
+    state, obs = jax.jit(jax.vmap(env.reset))(keys)
+    sharding = NamedSharding(mesh, P("data"))
+    state_sharded = jax.device_put(state, sharding)
+    actions = jnp.zeros((n, 1))
+
+    step = jax.jit(jax.vmap(env.step))
+    st_ref, st_shd = state, state_sharded
+    for _ in range(5):
+        st_ref, obs_ref, *_ = step(st_ref, actions)
+        st_shd, obs_shd, *_ = step(st_shd, jax.device_put(actions, sharding))
+    np.testing.assert_array_equal(np.asarray(st_ref.sim.q), np.asarray(st_shd.sim.q))
+    # The output kept the data-parallel layout (XLA propagated the sharding)
+    assert len(st_shd.sim.q.sharding.device_set) == 8
+
+
+def test_data_parallel_ppo_train_step():
+    """One full PPO train step over the 8-device mesh: env states sharded on
+    `data`, params replicated, gradient all-reduce inserted by XLA (the same
+    path `__graft_entry__.dryrun_multichip` validates for the driver)."""
+    from jiminy_tpu.rl import PPOConfig, make_train
+
+    mesh = _mesh()
+    env = FlattenObservation(make("cartpole"))
+    config = PPOConfig(
+        n_envs=16,
+        n_steps=4,
+        n_epochs=1,
+        n_minibatches=1,
+        total_iterations=1,
+        hidden=(16, 16),
+    )
+    init_fn, train_step = make_train(env, config, mesh=mesh)
+    state = init_fn(jax.random.PRNGKey(0))
+    data_sharding = NamedSharding(mesh, P("data"))
+    replicated = NamedSharding(mesh, P())
+    state = state.replace(
+        env_state=jax.device_put(state.env_state, data_sharding),
+        last_obs=jax.device_put(state.last_obs, data_sharding),
+        params=jax.device_put(state.params, replicated),
+        opt_state=jax.device_put(state.opt_state, replicated),
+        key=jax.device_put(state.key, replicated),
+    )
+    state, metrics = jax.jit(train_step)(state)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), f"metric {k} not finite"
+    # Parameters stayed replicated across all devices after the update
+    leaf = jax.tree.leaves(state.params)[0]
+    assert len(leaf.sharding.device_set) == 8
