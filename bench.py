@@ -37,6 +37,20 @@ def main():
     from jiminy_tpu.envs import make
 
     env = make(env_name)
+    pgs_iters = int(os.environ.get("BENCH_PGS_ITERS", "0"))
+    if pgs_iters:
+        # Constraint-solver iteration knob (accuracy study: see
+        # docs/performance.md — warm-started ANYmal standing converges to
+        # ~1e-9 of the 64-iteration solution by 16 iterations).
+        import dataclasses as _dc
+
+        eng = env.engine
+        eng.__init__(
+            eng.robot,
+            eng.options.replace(
+                stepper=_dc.replace(eng.options.stepper, pgs_iter_max=pgs_iters)
+            ),
+        )
     contact_mode = os.environ.get("BENCH_CONTACT", "")
     if contact_mode:
         # e.g. BENCH_CONTACT=constraint — the reference's default contact
