@@ -31,12 +31,17 @@ def main():
     # whole-env-step rollout, tile 1024).
     batch = int(os.environ.get("BENCH_BATCH", "65536"))
     n_steps = int(os.environ.get("BENCH_STEPS", "25"))
-    pallas_tile = int(os.environ.get("BENCH_PALLAS", "1024"))
     env_name = os.environ.get("BENCH_ENV", "anymal-pid")
 
     from jiminy_tpu.envs import make
 
     env = make(env_name)
+    # Tile default by model size: small-state models (toys) are launch-bound
+    # at 1024 and scale with the tile (cartpole B=131072 on v5e: 1024 ->
+    # 8.5M, 2048 -> 13.2M, 4096 -> 18.1M, 8192 -> 19.2M env-steps/s);
+    # walker-class models (nv ~ 18-36) measured fastest at 1024.
+    tile_default = 8192 if env.engine.robot.nv <= 8 else 1024
+    pallas_tile = int(os.environ.get("BENCH_PALLAS", str(tile_default)))
     pgs_iters = int(os.environ.get("BENCH_PGS_ITERS", "0"))
     if pgs_iters:
         # Constraint-solver iteration knob (accuracy study: see

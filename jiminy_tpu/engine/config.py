@@ -66,11 +66,24 @@ class StepperOptions:
                                          # STEPPER_MIN_TIMESTEP, constants.h)
     max_trials: int = 24                 # bound on adaptive retry loop per period
     successive_iter_failed_max: int = 1000
-    # PGS constraint solver (reference `constraint_solvers.cc:15-21, 328-448`)
-    pgs_iter_max: int = 32
+    # PGS constraint solver (reference `constraint_solvers.cc:15-21, 328-448`).
+    # The reference caps at 100 iterations with a residual-stagnation early
+    # exit; warm-started solves stagnate within a few sweeps, so its effective
+    # budget is small.  With stage-chained warm starts (below), 12 fixed
+    # iterations measure within f32 noise of a 64-iteration solve on ANYmal
+    # constraint-mode locomotion (see docs/performance.md); 16 keeps margin
+    # for impact-rich active-set flips.  Raise for dynamics studies.
+    pgs_iter_max: int = 16
     pgs_tol_abs: float = 1.0e-8
     pgs_tol_rel: float = 1.0e-6
     pgs_regularization: float = 1.0e-3
+    # Thread the multipliers + active-set hysteresis through every solver
+    # stage (each RK stage warm-starts from the previous stage's solution) —
+    # the reference semantics, where `constraint->lambda_` and the constraint
+    # enable flags persist across every `SolveBoxedForwardDynamics` call
+    # (`constraint_solvers.cc:344,436-444`).  False freezes them at the
+    # engine-tick start instead (cheaper to trace, slightly laxer warm start).
+    pgs_stage_warm_start: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

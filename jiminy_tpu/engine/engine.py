@@ -679,6 +679,7 @@ class Engine:
                 n_cmd=self.robot.nmotors,
                 pallas_tile=self.options.pallas_tile,
                 imu_frames=self._imu_frames,
+                stage_warm_start=self.options.stepper.pgs_stage_warm_start,
             )
             self._period_runs[key] = run
         return run
@@ -1009,18 +1010,52 @@ class Engine:
 
         f = self._accel_fn(command, carry)
 
+        # Stage-chained PGS warm start (reference semantics: the multipliers
+        # and constraint enable flags persist across every solve,
+        # `constraint_solvers.cc:344,436-444`): thread (lam, active sets)
+        # through every dynamics evaluation of the tick; the end-of-tick
+        # final eval then warm-starts from the last stage and its solution
+        # becomes the next tick's carry.
+        stage_warm = self.has_constraints and opts.pgs_stage_warm_start
+        if stage_warm:
+            _PGS_KEYS = ("lam", "contact_active", "bound_active")
+
+            def f2(t, q, v, pgs):
+                a, aux = self.dynamics_full(t, q, v, command, {**carry, **pgs})
+                return a, {k: aux[k] for k in _PGS_KEYS}
+
+            pgs0 = {k: carry[k] for k in _PGS_KEYS}
+
         if opts.integrator == IntegratorType.EULER_EXPLICIT:
             dt = period / self.n_substeps
 
-            def body(carry, _):
-                t, q, v = carry
-                q, v, a = steppers.euler_step(model, f, t, q, v, dt)
-                return (t + dt, q, v), None
+            if stage_warm:
 
-            (t_end, q, v), _ = jax.lax.scan(
-                body, (state.t, state.q, state.v), None, length=self.n_substeps
-            )
-            a, aux = self._final_eval(t_end, q, v, command, carry)
+                def body(c_, _):
+                    t, q, v, pgs = c_
+                    q, v, a, pgs = steppers.euler_step_stateful(
+                        model, f2, t, q, v, dt, pgs
+                    )
+                    return (t + dt, q, v, pgs), None
+
+                (t_end, q, v, pgs), _ = jax.lax.scan(
+                    body, (state.t, state.q, state.v, pgs0), None,
+                    length=self.n_substeps,
+                )
+                carry_fin = {**carry, **pgs}
+            else:
+
+                def body(c_, _):
+                    t, q, v = c_
+                    q, v, a = steppers.euler_step(model, f, t, q, v, dt)
+                    return (t + dt, q, v), None
+
+                (t_end, q, v), _ = jax.lax.scan(
+                    body, (state.t, state.q, state.v), None,
+                    length=self.n_substeps,
+                )
+                carry_fin = carry
+            a, aux = self._final_eval(t_end, q, v, command, carry_fin)
             new_stepper = state.stepper.replace(
                 iterations=state.stepper.iterations + self.n_substeps
             )
@@ -1029,22 +1064,43 @@ class Engine:
         if opts.integrator == IntegratorType.RUNGE_KUTTA_4:
             dt = period / self.n_substeps
 
-            def body(carry, _):
-                t, q, v = carry
-                q, v, a = steppers.rk4_step(model, f, t, q, v, dt)
-                return (t + dt, q, v), None
+            if stage_warm:
 
-            (t_end, q, v), _ = jax.lax.scan(
-                body, (state.t, state.q, state.v), None, length=self.n_substeps
-            )
-            a, aux = self._final_eval(t_end, q, v, command, carry)
+                def body(c_, _):
+                    t, q, v, pgs = c_
+                    q, v, a, pgs = steppers.rk4_step_stateful(
+                        model, f2, t, q, v, dt, pgs
+                    )
+                    return (t + dt, q, v, pgs), None
+
+                (t_end, q, v, pgs), _ = jax.lax.scan(
+                    body, (state.t, state.q, state.v, pgs0), None,
+                    length=self.n_substeps,
+                )
+                carry_fin = {**carry, **pgs}
+            else:
+
+                def body(c_, _):
+                    t, q, v = c_
+                    q, v, a = steppers.rk4_step(model, f, t, q, v, dt)
+                    return (t + dt, q, v), None
+
+                (t_end, q, v), _ = jax.lax.scan(
+                    body, (state.t, state.q, state.v), None,
+                    length=self.n_substeps,
+                )
+                carry_fin = carry
+            a, aux = self._final_eval(t_end, q, v, command, carry_fin)
             new_stepper = state.stepper.replace(
                 iterations=state.stepper.iterations + self.n_substeps
             )
             return state.replace(q=integ.normalize(model, q), v=v), a, aux, new_stepper
 
         # ---------------- adaptive DOPRI 5(4), masked lock-step ----------------
-        a0 = f(state.t, state.q, state.v)
+        if stage_warm:
+            a0, pgs_a0 = f2(state.t, state.q, state.v, pgs0)
+        else:
+            a0 = f(state.t, state.q, state.v)
         eps = jnp.asarray(1e-12, self.dtype)
 
         def cond(c):
@@ -1053,9 +1109,20 @@ class Engine:
         def body(c):
             remaining = period - c["t_local"]
             dt_try = jnp.minimum(c["dt_pref"], remaining)
-            q5, v5, err_vec, mag, a_last = steppers.dopri_trial(
-                model, f, state.t + c["t_local"], c["q"], c["v"], c["a"], dt_try
-            )
+            if stage_warm:
+                # The threaded solver state advances on every trial — even
+                # rejected ones, as in the reference (lambda_ written back on
+                # every solve).
+                q5, v5, err_vec, mag, a_last, pgs_t = (
+                    steppers.dopri_trial_stateful(
+                        model, f2, state.t + c["t_local"], c["q"], c["v"],
+                        c["a"], dt_try, c["pgs"],
+                    )
+                )
+            else:
+                q5, v5, err_vec, mag, a_last = steppers.dopri_trial(
+                    model, f, state.t + c["t_local"], c["q"], c["v"], c["a"], dt_try
+                )
             err = steppers.dopri_error_norm(err_vec, mag, opts.tol_abs, opts.tol_rel)
             err = jnp.where(jnp.isnan(err), jnp.asarray(jnp.inf, err.dtype), err)
             ok, dt_new = steppers.dopri_adjust(dt_try, err, opts.dt_min, opts.dt_max)
@@ -1069,7 +1136,7 @@ class Engine:
             )
             succ_failed = jnp.where(ok, 0, c["succ_failed"] + 1)
             diverged = succ_failed >= opts.successive_iter_failed_max
-            return {
+            out = {
                 "q": jnp.where(ok, q5, c["q"]),
                 "v": jnp.where(ok, v5, c["v"]),
                 "a": jnp.where(ok, a_last, c["a"]),
@@ -1081,6 +1148,9 @@ class Engine:
                 "diverged": diverged,
                 "trials": c["trials"] + 1,
             }
+            if stage_warm:
+                out["pgs"] = pgs_t
+            return out
 
         init = {
             "q": state.q,
@@ -1094,9 +1164,12 @@ class Engine:
             "diverged": state.stepper.diverged,
             "trials": jnp.asarray(0, jnp.int32),
         }
+        if stage_warm:
+            init["pgs"] = pgs_a0
         c = jax.lax.while_loop(cond, body, init)
         q, v = integ.normalize(model, c["q"]), c["v"]
-        a, aux = self._final_eval(state.t + period, q, v, command, carry)
+        carry_fin = {**carry, **c["pgs"]} if stage_warm else carry
+        a, aux = self._final_eval(state.t + period, q, v, command, carry_fin)
         new_stepper = StepperState(
             dt=c["dt_pref"],
             iterations=c["iters"],
@@ -1204,6 +1277,7 @@ class Engine:
                     n_action,
                     pallas_tile=self.options.pallas_tile,
                     imu_frames=self._imu_frames,
+                    stage_warm_start=self.options.stepper.pgs_stage_warm_start,
                 )
             self._period_runs[("rollout", cache_key, n_periods)] = run
         return run

@@ -240,18 +240,52 @@ class MultiRobotEngine:
         dt = jnp.asarray(self.tick_period / self.n_substeps, self.dtype)
         euler = self.options.stepper.integrator == IntegratorType.EULER_EXPLICIT
 
+        _PGS_KEYS = ("lam", "contact_active", "bound_active")
+
         def tick(states_c, _):
             carries = {
                 n: self.engines[n]._carry_of(states_c[n]) for n in self.names
             }
+            # Stage-chained PGS warm start (mirror of Engine._integrate_period):
+            # per-robot (lam, active sets) thread through every stage eval.
+            stage_warm = self.options.stepper.pgs_stage_warm_start
+            threaded = {
+                n: stage_warm and self.engines[n].has_constraints
+                for n in self.names
+            }
+            pgs0 = {
+                n: (
+                    {k: carries[n][k] for k in _PGS_KEYS}
+                    if threaded[n]
+                    else {}
+                )
+                for n in self.names
+            }
 
-            def f(t, qs, vs):
-                return self._joint_accels(t, qs, vs, commands, carries)
+            def f(t, qs, vs, pgs_all):
+                fext = self._coupling_fext(t, qs, vs)
+                accels, pgs_new = {}, {}
+                for n in self.names:
+                    eng = self.engines[n]
+                    carry_n = (
+                        {**carries[n], **pgs_all[n]}
+                        if pgs_all[n]
+                        else carries[n]
+                    )
+                    a, aux = eng.dynamics_full(
+                        t, qs[n], vs[n], commands[n], carry_n,
+                        fext_extra=fext[n],
+                    )
+                    accels[n] = a
+                    pgs_new[n] = (
+                        {k: aux[k] for k in _PGS_KEYS} if threaded[n] else {}
+                    )
+                return accels, pgs_new
 
             def substep(carry, _):
-                t, qs, vs = carry
+                t, qs, vs, pgs_all = carry
                 if euler:
-                    accels = f(t, qs, vs)
+                    accels, pgs_all = f(t, qs, vs, pgs_all)
                     qs = {
                         n: integ.integrate(
                             self.engines[n].robot.model, qs[n], vs[n] * dt
@@ -260,7 +294,7 @@ class MultiRobotEngine:
                     }
                     vs = {n: vs[n] + accels[n] * dt for n in self.names}
                 else:  # RK4 over the joint system
-                    k1v, k1a = vs, f(t, qs, vs)
+                    k1v, (k1a, pgs_all) = vs, f(t, qs, vs, pgs_all)
 
                     def adv(qs, vs, kv, ka, h):
                         q2 = {
@@ -273,11 +307,11 @@ class MultiRobotEngine:
                         return q2, v2
 
                     q2, v2 = adv(qs, vs, k1v, k1a, 0.5 * dt)
-                    k2v, k2a = v2, f(t + 0.5 * dt, q2, v2)
+                    k2v, (k2a, pgs_all) = v2, f(t + 0.5 * dt, q2, v2, pgs_all)
                     q3, v3 = adv(qs, vs, k2v, k2a, 0.5 * dt)
-                    k3v, k3a = v3, f(t + 0.5 * dt, q3, v3)
+                    k3v, (k3a, pgs_all) = v3, f(t + 0.5 * dt, q3, v3, pgs_all)
                     q4, v4 = adv(qs, vs, k3v, k3a, dt)
-                    k4v, k4a = v4, f(t + dt, q4, v4)
+                    k4v, (k4a, pgs_all) = v4, f(t + dt, q4, v4, pgs_all)
                     qs = {
                         n: integ.integrate(
                             self.engines[n].robot.model,
@@ -293,21 +327,24 @@ class MultiRobotEngine:
                         * (k1a[n] + 2 * k2a[n] + 2 * k3a[n] + k4a[n])
                         for n in self.names
                     }
-                return (t + dt, qs, vs), None
+                return (t + dt, qs, vs, pgs_all), None
 
             t0 = states_c[self.names[0]].t
             qs = {n: states_c[n].q for n in self.names}
             vs = {n: states_c[n].v for n in self.names}
-            (t_end, qs, vs), _ = jax.lax.scan(
-                substep, (t0, qs, vs), None, length=self.n_substeps
+            (t_end, qs, vs, pgs_fin), _ = jax.lax.scan(
+                substep, (t0, qs, vs, pgs0), None, length=self.n_substeps
             )
             fext = self._coupling_fext(t_end, qs, vs)
             out = {}
             for n in self.names:
                 eng = self.engines[n]
                 q = integ.normalize(eng.robot.model, qs[n])
+                carry_fin = (
+                    {**carries[n], **pgs_fin[n]} if pgs_fin[n] else carries[n]
+                )
                 a, aux = eng.dynamics_full(
-                    t_end, q, vs[n], commands[n], carries[n], fext_extra=fext[n]
+                    t_end, q, vs[n], commands[n], carry_fin, fext_extra=fext[n]
                 )
                 tick_n = (
                     states_c[n].tick + 1 if states_c[n].tick is not None else None

@@ -26,6 +26,16 @@ from jiminy_tpu.ops import dynamics as dyn
 from jiminy_tpu.ops import lie
 
 _MIN_REGULARIZER = 1.0e-11
+
+
+def _lit0(x) -> bool:
+    """True for a trace-time literal zero (python int/float 0).
+
+    Constraint rows are mostly structural zeros (a bound row touches one dof,
+    a contact row only its support chain); skipping them at trace time prunes
+    the component graphs — numerically exact, since adding/multiplying an
+    exact 0.0 never changes the other operand."""
+    return isinstance(x, (int, float)) and x == 0.0
 _RELAX_MIN = 0.01
 _RELAX_MAX = 1.0
 _RELAX_MIN_ITER_NUM = 20
@@ -34,9 +44,22 @@ _RELAX_SLOPE_ORDER = 2.0
 
 
 def _relaxation(iter_idx, iter_max: int):
-    """Under-relaxation factor schedule (reference `constraint_solvers.cc:245-258`)."""
-    denom = max(iter_max - _RELAX_MIN_ITER_NUM - _RELAX_MAX_ITER_NUM, 1)
-    ratio = ((iter_max - _RELAX_MIN_ITER_NUM) - iter_idx) / denom
+    """Under-relaxation factor schedule (reference `constraint_solvers.cc:245-258`).
+
+    The reference constants (20 min-relax tail / 30-iteration ramp) assume its
+    `PGS_MAX_ITERATIONS = 100` budget — full relaxation for the first 50%,
+    quadratic ramp over the next 30%, minimum for the last 20%.  For the fixed
+    small iteration budgets used here (warm-started solves), the split is kept
+    FRACTIONALLY identical instead of in absolute iterations: at iter_max=100
+    the schedule matches the reference exactly; below 50 iterations the
+    reference formula would degenerate (zero or negative full-relaxation
+    iterations), so the 50/30/20 split is scaled down proportionally."""
+    min_num, max_num = _RELAX_MIN_ITER_NUM, _RELAX_MAX_ITER_NUM
+    if iter_max < min_num + max_num:
+        min_num = max(int(round(0.2 * iter_max)), 1)
+        max_num = max(int(round(0.3 * iter_max)), 1)
+    denom = max(iter_max - min_num - max_num, 1)
+    ratio = ((iter_max - min_num) - iter_idx) / denom
     # _RELAX_SLOPE_ORDER == 2: explicit square (Mosaic cannot lower powf)
     clipped = jnp.clip(ratio, 0.0, 1.0)
     w = jnp.where(
@@ -90,10 +113,14 @@ def _pgs_sweep_components(cset, a_c, b_c, lam0_c, friction, torsion, iter_max,
     n = cset.total_rows
 
     def dot_col(xs, i):
-        out = a_c[0][i] * xs[0]
-        for j in range(1, n):
-            out = out + a_c[j][i] * xs[j]
-        return out
+        # Literal-zero A entries (structurally decoupled rows) prune away
+        out = None
+        for j in range(n):
+            if _lit0(a_c[j][i]):
+                continue
+            t = a_c[j][i] * xs[j]
+            out = t if out is None else out + t
+        return 0.0 if out is None else out
 
     def sweep(xs, w):
         # 1) Unbounded constraints: distance loops + rolling rows (plain GS)
@@ -333,17 +360,23 @@ def _ldl_factor_components(a):
 
 
 def _ldl_solve_components(l, dinv, rhs):
-    """Solve with a prior `_ldl_factor_components` factor; rhs = list of (batch,)."""
+    """Solve with a prior `_ldl_factor_components` factor; rhs = list of
+    (batch,) components.  Trace-time literal zeros in `rhs` (structural
+    sparsity of constraint rows) are propagated and skipped — output entries
+    may come back as literal 0.0."""
     n = len(dinv)
     y = list(rhs)
     for i in range(n):
         for k in range(i):
-            y[i] = y[i] - l[i][k] * y[k]
+            if not _lit0(y[k]):
+                y[i] = y[i] - l[i][k] * y[k]
     for i in range(n):
-        y[i] = y[i] * dinv[i]
+        if not _lit0(y[i]):
+            y[i] = y[i] * dinv[i]
     for i in reversed(range(n)):
         for k in range(i + 1, n):
-            y[i] = y[i] - l[k][i] * y[k]
+            if not _lit0(y[k]):
+                y[i] = y[i] - l[k][i] * y[k]
     return y
 
 
@@ -652,10 +685,20 @@ def constrained_accel_full_components(
     l, dinv = _ldl_factor_components(mass)
     tau_res = _ldl_solve_components(l, dinv, [tc[i] - nle[i] for i in range(nv)])
     minv_jt = [_ldl_solve_components(l, dinv, list(rows[r])) for r in range(n)]
+
+    def sdot(xs, ys):
+        # Structural-sparsity dot: literal-zero terms pruned at trace time
+        out = None
+        for x, yv in zip(xs, ys):
+            if _lit0(x) or _lit0(yv):
+                continue
+            out = x * yv if out is None else out + x * yv
+        return 0.0 if out is None else out
+
     a_c = [[None] * n for _ in range(n)]
     for r in range(n):
         for c2 in range(r, n):
-            val = sum(rows[r][k] * minv_jt[c2][k] for k in range(nv))
+            val = sdot(rows[r], minv_jt[c2])
             a_c[r][c2] = val
             if c2 != r:
                 a_c[c2][r] = val
@@ -663,10 +706,7 @@ def constrained_accel_full_components(
         a_c[r][r] = a_c[r][r] + jnp.maximum(
             a_c[r][r] * regularization, _MIN_REGULARIZER
         )
-    b_c = [
-        -drifts[r] - sum(rows[r][k] * tau_res[k] for k in range(nv))
-        for r in range(n)
-    ]
+    b_c = [-drifts[r] - sdot(rows[r], tau_res) for r in range(n)]
     # Warm start masked by row activity (inactive rows -> zero force)
     act_of_row = []
     act_of_row += list(bact)
@@ -681,7 +721,12 @@ def constrained_accel_full_components(
         cset, a_c, b_c, lam0, friction, torsion, iter_max, dtype
     )
     qdd = [
-        tau_res[k] + sum(lam[r] * minv_jt[r][k] for r in range(n))
+        tau_res[k]
+        + sum(
+            lam[r] * minv_jt[r][k]
+            for r in range(n)
+            if not _lit0(minv_jt[r][k])
+        )
         for k in range(nv)
     ]
     return qdd, lam, basis, depth, cact, bact
@@ -706,6 +751,7 @@ def make_constrained_period_integrator(
     n_cmd: int,
     pallas_tile: int = 0,
     imu_frames: tuple = (),
+    stage_warm_start: bool = True,
     _return_core: bool = False,
 ):
     """Fused whole-period integrator for the GENERAL constrained path: joint
@@ -716,10 +762,17 @@ def make_constrained_period_integrator(
 
     Kernel signature: `(q, v, cc) -> (q', v', extras)` with the "command" row
     `[motor command (n_cmd) | distance_ref (nd) | lam warm (N) | contact
-    active (nc) | bound active (nb)]` (all constant across the tick: per-tick
-    warm-start/hysteresis semantics, mirroring the per-stage path) and extras
-    `[a (nv) | f_world (nc*3) | w_local (nc*6) | depth (nc) | imu (ni*6) |
-    lam (N) | cact (nc) | bact (nb)]` from the end-of-period solve."""
+    active (nc) | bound active (nb)]` and extras `[a (nv) | f_world (nc*3) |
+    w_local (nc*6) | depth (nc) | imu (ni*6) | lam (N) | cact (nc) | bact
+    (nb)]` from the end-of-period solve.
+
+    `stage_warm_start=True` (default) threads the multipliers and the
+    active-set hysteresis masks through every solver stage INSIDE the tick —
+    the reference semantics, where `constraint->lambda_` and the constraint
+    enable flags persist across every `SolveBoxedForwardDynamics` call
+    (`constraint_solvers.cc:344,436-444`), i.e. each RK stage warm-starts
+    from the previous stage's solution.  `False` freezes them at the
+    tick-start values (the pre-round-3 per-tick semantics)."""
     import numpy as np
 
     from jiminy_tpu.ops import cdyn as cdyn_mod
@@ -785,6 +838,21 @@ def make_constrained_period_integrator(
             cactc, bactc, drefc, lamc, dtype, rollrefc=rollrefc,
         )
 
+    def cc_with(cc, lam, cact, bact):
+        """The command row with its warm-start/hysteresis channels replaced by
+        a solver stage's outputs (stage-chained warm start)."""
+        cc2 = list(cc)
+        off = n_cmd + nd
+        for r in range(n):
+            cc2[off + r] = lam[r]
+        off += n
+        for k in range(nc):
+            cc2[off + k] = jnp.where(cact[k], 1.0, 0.0)
+        off += nc
+        for k in range(nb):
+            cc2[off + k] = jnp.where(bact[k], 1.0, 0.0)
+        return cc2
+
     def final_outputs(qc, vc, cc):
         dtype = jnp.result_type(*(qc + vc))
         ac, lam, basis, depth, cact, bact = accel(qc, vc, cc, dtype)
@@ -833,21 +901,36 @@ def make_constrained_period_integrator(
         return extras
 
     def substep(qc, vc, cc):
+        """One integrator substep; returns `(q', v', cc')` where cc' carries
+        the last stage's multipliers/active sets when stage-chaining is on
+        (cc' = cc otherwise)."""
         dtype = jnp.result_type(*(qc + vc))
-        k1a = accel(qc, vc, cc, dtype)[0]
+        res1 = accel(qc, vc, cc, dtype)
+        k1a = res1[0]
+        if stage_warm_start:
+            cc = cc_with(cc, res1[1], res1[4], res1[5])
         if integrator == "euler":
             q_n = cdyn_obj.integrate_components(qc, [dt * x for x in vc])
             v_n = [vc[k] + dt * k1a[k] for k in range(nv)]
-            return q_n, v_n
+            return q_n, v_n, cc
         q2 = cdyn_obj.integrate_components(qc, [0.5 * dt * x for x in vc])
         v2 = [vc[k] + 0.5 * dt * k1a[k] for k in range(nv)]
-        k2a = accel(q2, v2, cc, dtype)[0]
+        res2 = accel(q2, v2, cc, dtype)
+        k2a = res2[0]
+        if stage_warm_start:
+            cc = cc_with(cc, res2[1], res2[4], res2[5])
         q3 = cdyn_obj.integrate_components(qc, [0.5 * dt * x for x in v2])
         v3_ = [vc[k] + 0.5 * dt * k2a[k] for k in range(nv)]
-        k3a = accel(q3, v3_, cc, dtype)[0]
+        res3 = accel(q3, v3_, cc, dtype)
+        k3a = res3[0]
+        if stage_warm_start:
+            cc = cc_with(cc, res3[1], res3[4], res3[5])
         q4 = cdyn_obj.integrate_components(qc, [dt * x for x in v3_])
         v4 = [vc[k] + dt * k3a[k] for k in range(nv)]
-        k4a = accel(q4, v4, cc, dtype)[0]
+        res4 = accel(q4, v4, cc, dtype)
+        k4a = res4[0]
+        if stage_warm_start:
+            cc = cc_with(cc, res4[1], res4[4], res4[5])
         dq = [
             (dt / 6.0) * (vc[k] + 2.0 * v2[k] + 2.0 * v3_[k] + v4[k])
             for k in range(nv)
@@ -858,7 +941,7 @@ def make_constrained_period_integrator(
         ]
         q_n = cdyn_obj.integrate_components(qc, dq)
         v_n = [vc[k] + dv[k] for k in range(nv)]
-        return q_n, v_n
+        return q_n, v_n, cc
 
     if _return_core:
         # Expose the closures for `make_constrained_rollout_integrator` (the
@@ -873,29 +956,34 @@ def make_constrained_period_integrator(
         }
 
     def run_xla(q, v, cc_arr):
-        cc = [cc_arr[..., i] for i in range(cc_arr.shape[-1])]
+        n_cc = cc_arr.shape[-1]
         batch = jnp.broadcast_shapes(q.shape[:-1], v.shape[:-1])
 
         def stack(comps):
             return jnp.stack(
-                [jnp.broadcast_to(x, batch) for x in comps], axis=-1
+                [jnp.broadcast_to(x, batch).astype(q.dtype) for x in comps],
+                axis=-1,
             )
 
         def body(carry, _):
-            qa, va = carry
+            qa, va, cca = carry
             qc = [qa[..., i] for i in range(nq)]
             vc = [va[..., i] for i in range(nv)]
-            qo, vo = substep(qc, vc, cc)
-            return (stack(qo), stack(vo)), None
+            cc = [cca[..., i] for i in range(n_cc)]
+            qo, vo, cco = substep(qc, vc, cc)
+            return (stack(qo), stack(vo), stack(cco)), None
 
+        cc_b = jnp.broadcast_to(cc_arr, batch + (n_cc,)).astype(q.dtype)
         if n_substeps == 1:
-            (q_new, v_new), _ = body((q, v), None)
+            (q_new, v_new, cc_fin), _ = body((q, v, cc_b), None)
         else:
-            (q_new, v_new), _ = jax.lax.scan(body, (q, v), None, length=n_substeps)
+            (q_new, v_new, cc_fin), _ = jax.lax.scan(
+                body, (q, v, cc_b), None, length=n_substeps
+            )
         extras = final_outputs(
             [q_new[..., i] for i in range(nq)],
             [v_new[..., i] for i in range(nv)],
-            cc,
+            [cc_fin[..., i] for i in range(n_cc)],
         )
         return q_new, v_new, stack(extras)
 
@@ -919,6 +1007,7 @@ def make_constrained_period_integrator(
                             tile=tile,
                             final_outputs=final_outputs,
                             n_extra=n_extra,
+                            thread_cc=True,
                         )
                     return pallas_runs[tile](q, v, cc_arr)
         return run_xla(q, v, cc_arr)
@@ -949,12 +1038,15 @@ def make_constrained_rollout_integrator(
     n_action: int,
     pallas_tile: int = 0,
     imu_frames: tuple = (),
+    stage_warm_start: bool = True,
 ):
     """Fused WHOLE-ENV-STEP integrator for the constrained path: `n_ticks`
     controller periods in ONE kernel launch per env tile, with the controller
     block evaluated in-kernel at each period boundary AND the per-tick PGS
     warm-start / active-set hysteresis refresh (`Engine.step`'s per-tick
-    carry recomputation) done in-kernel too.
+    carry recomputation) done in-kernel too.  With `stage_warm_start` the
+    multipliers/active sets also chain through every solver stage inside each
+    tick (see `make_constrained_period_integrator`).
 
     Row layouts:
     - "action" input  = `[env action (n_action) | distance_ref (nd) |
@@ -967,7 +1059,7 @@ def make_constrained_rollout_integrator(
         cdyn_obj, tau_c_fn, bound_gains, dt, n_substeps, integrator, cset,
         ground_fn, kp, kd, transition_eps, friction, torsion, regularization,
         iter_max, n_cmd, pallas_tile=0, imu_frames=imu_frames,
-        _return_core=True,
+        stage_warm_start=stage_warm_start, _return_core=True,
     )
     nq, nv, nd, nb, nc, nr, n, ni, nc_out = core["dims"]
     n_carry = n_block_carry + n + nc + nb
@@ -1022,6 +1114,7 @@ def make_constrained_rollout_integrator(
         pallas_tile=pallas_tile,
         pallas_ok=pallas_ok,
         post_tick_fn=post_tick_fn,
+        thread_cc=True,
     )
 
 

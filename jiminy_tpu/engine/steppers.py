@@ -77,6 +77,71 @@ def rk4_step(model: RobotModel, f: Callable, t, q, v, dt):
     return q_new, v_new, k4a
 
 
+def euler_step_stateful(model: RobotModel, f: Callable, t, q, v, dt, s):
+    """`euler_step` with a stateful dynamics callback `(a, s') = f(t, q, v, s)`
+    — used to chain the PGS warm start / active-set hysteresis through every
+    dynamics evaluation (reference: `constraint->lambda_` persists across
+    every solve, `constraint_solvers.cc:344,436-444`)."""
+    a, s = f(t, q, v, s)
+    q_new = integ.integrate(model, q, v * dt[..., None])
+    v_new = v + a * dt[..., None]
+    return q_new, v_new, a, s
+
+
+def rk4_step_stateful(model: RobotModel, f: Callable, t, q, v, dt, s):
+    """`rk4_step` with a stateful dynamics callback (see `euler_step_stateful`):
+    each RK stage warm-starts the constraint solve from the previous stage."""
+    dtc = dt[..., None]
+    k1a, s = f(t, q, v, s)
+    q2 = integ.integrate(model, q, 0.5 * dtc * v)
+    v2 = v + 0.5 * dtc * k1a
+    k2a, s = f(t + 0.5 * dt, q2, v2, s)
+    q3 = integ.integrate(model, q, 0.5 * dtc * v2)
+    v3 = v + 0.5 * dtc * k2a
+    k3a, s = f(t + 0.5 * dt, q3, v3, s)
+    q4 = integ.integrate(model, q, dtc * v3)
+    v4 = v + dtc * k3a
+    k4a, s = f(t + dt, q4, v4, s)
+    dq = (dtc / 6.0) * (v + 2.0 * v2 + 2.0 * v3 + v4)
+    dv = (dtc / 6.0) * (k1a + 2.0 * k2a + 2.0 * k3a + k4a)
+    return integ.integrate(model, q, dq), v + dv, k4a, s
+
+
+def dopri_trial_stateful(model: RobotModel, f: Callable, t, q, v, a0, dt, s):
+    """`dopri_trial` with a stateful dynamics callback (see
+    `euler_step_stateful`).  The state threads through the 6 in-trial stage
+    evaluations and is returned even for rejected trials — mirroring the
+    reference, which writes `constraint->lambda_` back on every solve."""
+    dtc = dt[..., None]
+    kv = [v]
+    ka = [a0]
+    for i in range(1, 7):
+        dq = sum(_DOPRI_A[i][j] * kv[j] for j in range(i)) * dtc
+        dv = sum(_DOPRI_A[i][j] * ka[j] for j in range(i)) * dtc
+        qi = integ.integrate(model, q, dq)
+        vi = v + dv
+        kv.append(vi)
+        ai, s = f(t + _DOPRI_C[i] * dt, qi, vi, s)
+        ka.append(ai)
+
+    dq5 = sum(_DOPRI_B[i] * kv[i] for i in range(7)) * dtc
+    dv5 = sum(_DOPRI_B[i] * ka[i] for i in range(7)) * dtc
+    q5 = integ.integrate(model, q, dq5)
+    v5 = v + dv5
+
+    dq4 = sum(_DOPRI_E[i] * kv[i] for i in range(7)) * dtc
+    dv4 = sum(_DOPRI_E[i] * ka[i] for i in range(7)) * dtc
+    q4 = integ.integrate(model, q, dq4)
+    v4 = v + dv4
+
+    q_zero = jnp.broadcast_to(model.neutral(), q.shape)
+    state_mag = jnp.concatenate([integ.difference(model, q_zero, q), v], axis=-1)
+    eq = integ.difference(model, q4, q5)
+    ev = v5 - v4
+    err_vec = jnp.concatenate([eq, ev], axis=-1)
+    return q5, v5, err_vec, jnp.abs(state_mag), ka[-1], s
+
+
 def dopri_trial(model: RobotModel, f: Callable, t, q, v, a0, dt):
     """One DOPRI5 trial step.  Returns (q5, v5, error_norm, a_last).
 

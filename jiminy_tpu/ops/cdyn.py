@@ -1259,7 +1259,8 @@ def _pallas_accel_fn(cd: "ComponentDynamics", tile: int = 1024):
 
 
 def _pallas_period_fn(cd: "ComponentDynamics", substep, n_substeps: int,
-                      tile: int = 1024, final_outputs=None, n_extra: int = 0):
+                      tile: int = 1024, final_outputs=None, n_extra: int = 0,
+                      thread_cc: bool = False):
     """The WHOLE sensor-period integration (n_substeps x RK4, each stage a full
     contact-dynamics eval) as ONE Pallas kernel per env tile — optionally
     including the end-of-period dynamics outputs (`final_outputs`).
@@ -1280,15 +1281,25 @@ def _pallas_period_fn(cd: "ComponentDynamics", substep, n_substeps: int,
 
     def kernel(q_ref, v_ref, c_ref, qo_ref, vo_ref, *extra_refs):
         nm = c_ref.shape[1]
-        cc = [c_ref[0, i] for i in range(nm)]
+        cc0 = tuple(c_ref[0, i] for i in range(nm))
         dtype = qo_ref.dtype
 
         def tile_of(x):
             return jnp.broadcast_to(x, (sub, 128)).astype(dtype)
 
         def body(_, carry):
+            if thread_cc:
+                # Stage-chained warm start: the substep updates the command
+                # row's solver channels (multipliers/active sets) in-place.
+                qs, vs, ccs = carry
+                qo, vo, cco = substep(list(qs), list(vs), list(ccs))
+                return (
+                    tuple(tile_of(x) for x in qo),
+                    tuple(tile_of(x) for x in vo),
+                    tuple(tile_of(x) for x in cco),
+                )
             qs, vs = carry
-            qo, vo = substep(list(qs), list(vs), cc)
+            qo, vo = substep(list(qs), list(vs), list(cc0))
             return (
                 tuple(tile_of(x) for x in qo),
                 tuple(tile_of(x) for x in vo),
@@ -1296,16 +1307,21 @@ def _pallas_period_fn(cd: "ComponentDynamics", substep, n_substeps: int,
 
         qs0 = tuple(q_ref[0, i] for i in range(nq))
         vs0 = tuple(v_ref[0, i] for i in range(nv))
+        init = (qs0, vs0, cc0) if thread_cc else (qs0, vs0)
         if n_substeps == 1:
-            qs, vs = body(0, (qs0, vs0))
+            fin = body(0, init)
         else:
-            qs, vs = jax.lax.fori_loop(0, n_substeps, body, (qs0, vs0))
+            fin = jax.lax.fori_loop(0, n_substeps, body, init)
+        if thread_cc:
+            qs, vs, cc = fin
+        else:
+            (qs, vs), cc = fin, cc0
         for i in range(nq):
             qo_ref[0, i] = tile_of(qs[i])
         for i in range(nv):
             vo_ref[0, i] = tile_of(vs[i])
         if with_outputs:
-            extras = final_outputs(list(qs), list(vs), cc)
+            extras = final_outputs(list(qs), list(vs), list(cc))
             assert len(extras) == n_extra, (
                 f"extras layout mismatch: {len(extras)} != {n_extra}"
             )
@@ -1362,7 +1378,7 @@ def make_generic_rollout(cd, substep, final_outputs, n_extra_std: int,
                          n_substeps: int, n_ticks: int, controller_fn,
                          n_carry: int, n_action: int, n_cmd: int,
                          pallas_tile: int = 0, pallas_ok=None,
-                         post_tick_fn=None):
+                         post_tick_fn=None, thread_cc: bool = False):
     """Shared scaffolding for fused multi-tick rollout integrators (spring and
     constrained paths): XLA scan fallback + Pallas kernel dispatch per tile.
 
@@ -1372,6 +1388,9 @@ def make_generic_rollout(cd, substep, final_outputs, n_extra_std: int,
       the constrained path refreshes the PGS warm-start multipliers and the
       active-set hysteresis masks there, mirroring the per-tick carry
       recomputation of `Engine.step`.
+    - `thread_cc=True`: substep returns `(q', v', cc')` and the command row is
+      threaded through the substeps of each tick (stage-chained PGS warm
+      start); post_tick/final_outputs then see the last stage's cc.
     - extras = `final_outputs(q_end, v_end, cc_last) + cc_last + bc_final`."""
 
     def run_xla(q, v, action, carry):
@@ -1397,6 +1416,14 @@ def make_generic_rollout(cd, substep, final_outputs, n_extra_std: int,
             )
 
             def sub_body(c2, _):
+                if thread_cc:
+                    qa2, va2, cca2 = c2
+                    qo, vo, cco = substep(
+                        [qa2[..., i] for i in range(nq_)],
+                        [va2[..., i] for i in range(nv_)],
+                        [cca2[..., i] for i in range(n_cmd)],
+                    )
+                    return (stack(qo), stack(vo), stack(cco)), None
                 qa2, va2 = c2
                 qo, vo = substep(
                     [qa2[..., i] for i in range(nq_)],
@@ -1405,12 +1432,16 @@ def make_generic_rollout(cd, substep, final_outputs, n_extra_std: int,
                 )
                 return (stack(qo), stack(vo)), None
 
+            init = (qa, va, stack(cc)) if thread_cc else (qa, va)
             if n_substeps == 1:
-                (qa, va), _ = sub_body((qa, va), None)
+                fin, _ = sub_body(init, None)
             else:
-                (qa, va), _ = jax.lax.scan(
-                    sub_body, (qa, va), None, length=n_substeps
-                )
+                fin, _ = jax.lax.scan(sub_body, init, None, length=n_substeps)
+            if thread_cc:
+                qa, va, cc_fin = fin
+                cc = [cc_fin[..., i] for i in range(n_cmd)]
+            else:
+                qa, va = fin
             if post_tick_fn is not None:
                 bc2 = post_tick_fn(
                     [qa[..., i] for i in range(nq_)],
@@ -1459,6 +1490,7 @@ def make_generic_rollout(cd, substep, final_outputs, n_extra_std: int,
                             final_outputs=final_outputs,
                             n_extra_std=n_extra_std,
                             post_tick_fn=post_tick_fn,
+                            thread_cc=thread_cc,
                         )
                     return pallas_runs[tile](q, v, action, carry)
         return run_xla(q, v, action, carry)
@@ -1470,7 +1502,7 @@ def _pallas_rollout_fn(cd: "ComponentDynamics", substep, n_substeps: int,
                        n_ticks: int, controller_fn, n_carry: int,
                        n_action: int, n_cmd: int, tile: int = 1024,
                        final_outputs=None, n_extra_std: int = 0,
-                       post_tick_fn=None):
+                       post_tick_fn=None, thread_cc: bool = False):
     """The WHOLE env step — `n_ticks` controller periods, the in-kernel
     controller update at each period boundary, and `n_substeps` integration
     substeps per period — as ONE Pallas kernel per env tile.
@@ -1503,6 +1535,14 @@ def _pallas_rollout_fn(cd: "ComponentDynamics", substep, n_substeps: int,
             cc, bs2 = controller_fn(list(qs), list(vs), list(bs), ac)
 
             def body(_, c2):
+                if thread_cc:
+                    qs2, vs2, cc2 = c2
+                    qo, vo, cco = substep(list(qs2), list(vs2), list(cc2))
+                    return (
+                        tuple(tile_of(x) for x in qo),
+                        tuple(tile_of(x) for x in vo),
+                        tuple(tile_of(x) for x in cco),
+                    )
                 qs2, vs2 = c2
                 qo, vo = substep(list(qs2), list(vs2), cc)
                 return (
@@ -1510,10 +1550,19 @@ def _pallas_rollout_fn(cd: "ComponentDynamics", substep, n_substeps: int,
                     tuple(tile_of(x) for x in vo),
                 )
 
+            init = (
+                (qs, vs, tuple(tile_of(x) for x in cc))
+                if thread_cc
+                else (qs, vs)
+            )
             if n_substeps == 1:
-                qs, vs = body(0, (qs, vs))
+                fin = body(0, init)
             else:
-                qs, vs = jax.lax.fori_loop(0, n_substeps, body, (qs, vs))
+                fin = jax.lax.fori_loop(0, n_substeps, body, init)
+            if thread_cc:
+                qs, vs, cc = fin
+            else:
+                qs, vs = fin
             if post_tick_fn is not None:
                 bs2 = post_tick_fn(list(qs), list(vs), cc, bs2)
             return (

@@ -725,14 +725,10 @@ def test_fused_distance_period_integrator_batched():
     )
 
 
-def test_fused_constraint_contact_mode_matches_generic():
-    """CONSTRAINT contact mode (the reference's default contact model) on the
-    fused whole-period path: cone-friction contact rows + joint bound rows +
-    a distance loop through the boxed Gauss-Seidel solve must match the
-    generic array path — q/v, multipliers, active sets and reported contact
-    forces."""
-    from jiminy_tpu.engine import Engine, EngineOptions, Robot
-    from jiminy_tpu.engine.config import ContactModel, StepperOptions
+def _fourbar_contact_robot():
+    """3-joint model exercising every PGS row family at once: a cone-friction
+    ground contact, a joint bound, and a distance loop closure."""
+    from jiminy_tpu.engine import Robot
 
     model = build_model(
         "fourbar_cc",
@@ -775,12 +771,24 @@ def test_fused_constraint_contact_mode_matches_generic():
             {"name": "foot", "parent": 1, "placement": (np.eye(3), np.array([0.0, 0.0, -0.32]))},
         ],
     )
-    robot = Robot.build(
+    return Robot.build(
         model,
         motors=[{"joint_name": "j0"}],
         contact_frames=["foot"],
         loop_constraints=[("tip_a", "tip_b")],
     )
+
+
+def test_fused_constraint_contact_mode_matches_generic():
+    """CONSTRAINT contact mode (the reference's default contact model) on the
+    fused whole-period path: cone-friction contact rows + joint bound rows +
+    a distance loop through the boxed Gauss-Seidel solve must match the
+    generic array path — q/v, multipliers, active sets and reported contact
+    forces."""
+    from jiminy_tpu.engine import Engine, EngineOptions
+    from jiminy_tpu.engine.config import ContactModel, StepperOptions
+
+    robot = _fourbar_contact_robot()
     contact = ContactOptions(
         model=ContactModel.CONSTRAINT, friction=0.8, torsion=0.1,
         transition_eps=1e-3,
@@ -818,3 +826,87 @@ def test_fused_constraint_contact_mode_matches_generic():
     )
     # The foot actually touched the ground at some point during the swing
     assert float(jnp.abs(st_f.lam).max()) > 0.0
+
+
+def test_constraint_mode_stage_warm_start_off_matches_generic():
+    """`pgs_stage_warm_start=False` (per-tick frozen warm start, the
+    pre-round-3 semantics) must still agree between the fused component path
+    and the generic array path — and must actually differ from the
+    stage-chained default (the knob is not a no-op)."""
+    from jiminy_tpu.engine import Engine, EngineOptions
+    from jiminy_tpu.engine.config import ContactModel, StepperOptions
+
+    robot = _fourbar_contact_robot()
+    contact = ContactOptions(
+        model=ContactModel.CONSTRAINT, friction=0.8, torsion=0.1,
+        transition_eps=1e-3,
+    )
+    base = dict(
+        contacts=contact,
+        stepper=StepperOptions(dt_max=1e-3, pgs_stage_warm_start=False),
+        joint_bounds_mode="constraint",
+    )
+    eng_f = Engine(robot, EngineOptions(use_fast_dynamics="always", **base))
+    eng_r = Engine(robot, EngineOptions(use_fast_dynamics=False, **base))
+    eng_w = Engine(
+        robot,
+        EngineOptions(
+            use_fast_dynamics="always",
+            contacts=contact,
+            stepper=StepperOptions(dt_max=1e-3, pgs_stage_warm_start=True),
+            joint_bounds_mode="constraint",
+        ),
+    )
+    q0 = jnp.asarray([0.4, -0.3, 0.2])
+    st_f, st_r, st_w = eng_f.reset(q0), eng_r.reset(q0), eng_w.reset(q0)
+    step_f, step_r = jax.jit(eng_f.step), jax.jit(eng_r.step)
+    step_w = jax.jit(eng_w.step)
+    for _ in range(150):
+        st_f = step_f(st_f, jnp.array([2.0]))
+        st_r = step_r(st_r, jnp.array([2.0]))
+        st_w = step_w(st_w, jnp.array([2.0]))
+    np.testing.assert_allclose(np.asarray(st_f.q), np.asarray(st_r.q), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(st_f.lam), np.asarray(st_r.lam), atol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(st_f.contact_active), np.asarray(st_r.contact_active)
+    )
+    assert float(jnp.abs(st_f.lam).max()) > 0.0
+    # Stage chaining changes the solve (warm start differs per stage)
+    assert float(jnp.abs(st_w.q - st_f.q).max()) > 0.0
+
+
+def test_stage_warm_start_low_iter_accuracy():
+    """With stage-chained warm starts a small fixed PGS budget tracks the
+    high-iteration solution: iter_max=8 stays close to iter_max=64 over a
+    contact-rich swing (the reference reaches the same regime through its
+    residual-stagnation early exit, `constraint_solvers.cc:269-276`)."""
+    from jiminy_tpu.engine import Engine, EngineOptions
+    from jiminy_tpu.engine.config import ContactModel, StepperOptions
+
+    robot = _fourbar_contact_robot()
+    contact = ContactOptions(
+        model=ContactModel.CONSTRAINT, friction=0.8, torsion=0.1,
+        transition_eps=1e-3,
+    )
+
+    def rollout(iter_max):
+        eng = Engine(
+            robot,
+            EngineOptions(
+                use_fast_dynamics="always",
+                contacts=contact,
+                stepper=StepperOptions(dt_max=1e-3, pgs_iter_max=iter_max),
+                joint_bounds_mode="constraint",
+            ),
+        )
+        st = eng.reset(jnp.asarray([0.4, -0.3, 0.2]))
+        step = jax.jit(eng.step)
+        for _ in range(100):
+            st = step(st, jnp.array([2.0]))
+        return st
+
+    st_lo, st_hi = rollout(8), rollout(64)
+    assert float(jnp.abs(st_hi.lam).max()) > 0.0
+    np.testing.assert_allclose(
+        np.asarray(st_lo.q), np.asarray(st_hi.q), atol=2e-3
+    )
