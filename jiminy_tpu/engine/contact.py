@@ -37,9 +37,12 @@ def spring_damper_force_world(
     f_normal = -jnp.minimum(opts.stiffness * depth + opts.damping * v_depth, 0.0)
     f = f_normal[..., None] * normal
     v_tang = v_contact - v_depth[..., None] * normal
-    v_norm = jnp.linalg.norm(v_tang, axis=-1)
+    # Guarded norm, identical to the cdyn component mirror (`_contact_fext`):
+    # `linalg.norm` has a NaN gradient at exactly zero tangential velocity
+    # (straight drop), which would poison end-to-end autodiff.
+    v_norm = jnp.sqrt(jnp.maximum(jnp.sum(v_tang * v_tang, axis=-1), 1e-24))
     v_ratio = jnp.minimum(v_norm / opts.transition_velocity, 1.0)
-    f = f - (opts.friction * v_ratio * f_normal / jnp.maximum(v_norm, 1e-12))[..., None] * v_tang
+    f = f - (opts.friction * v_ratio * f_normal / v_norm)[..., None] * v_tang
     if opts.transition_eps > 1e-12:
         blend = jnp.tanh(2.0 * (-depth) / opts.transition_eps)
         f = f * blend[..., None]

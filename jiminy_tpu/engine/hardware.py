@@ -85,17 +85,29 @@ class MotorBank:
         inf = jnp.asarray(jnp.inf, command.dtype)
         effort_min = jnp.where(self.enable_effort_limit > 0, -self.effort_limit, -inf)
         effort_max = jnp.where(self.enable_effort_limit > 0, self.effort_limit, inf)
-        # Linear torque-speed envelope (reference basic_motors.cc:108-119)
-        vel_delta = self.effort_limit * self.velocity_effort_inv_slope
-        vel_thr = jnp.maximum(self.velocity_limit - vel_delta, 0.0)
-        denom = jnp.maximum(self.velocity_limit - vel_thr, 1e-12)
-        scale_min = jnp.clip((self.velocity_limit + v_motor) / denom, 0.0, 1.0)
-        scale_max = jnp.clip((self.velocity_limit - v_motor) / denom, 0.0, 1.0)
-        apply_env = (self.enable_effort_limit > 0) & (self.enable_velocity_limit > 0) & (
-            vel_delta > 0.0
+        # Linear torque-speed envelope (reference basic_motors.cc:108-119).
+        # Infinite limits disable the envelope; mask them out BEFORE the
+        # arithmetic — `inf - inf` / `inf * 0` in the untaken `where` branch
+        # would poison reverse-mode gradients (the sim is differentiable
+        # end-to-end, tests/test_autodiff.py).
+        el_fin = jnp.where(jnp.isfinite(self.effort_limit), self.effort_limit, 0.0)
+        vl_fin = jnp.where(
+            jnp.isfinite(self.velocity_limit), self.velocity_limit, 0.0
         )
-        effort_min = jnp.where(apply_env, effort_min * scale_min, effort_min)
-        effort_max = jnp.where(apply_env, effort_max * scale_max, effort_max)
+        vel_delta = el_fin * self.velocity_effort_inv_slope
+        vel_thr = jnp.maximum(vl_fin - vel_delta, 0.0)
+        denom = jnp.maximum(vl_fin - vel_thr, 1e-12)
+        scale_min = jnp.clip((vl_fin + v_motor) / denom, 0.0, 1.0)
+        scale_max = jnp.clip((vl_fin - v_motor) / denom, 0.0, 1.0)
+        apply_env = (
+            (self.enable_effort_limit > 0)
+            & (self.enable_velocity_limit > 0)
+            & (vel_delta > 0.0)
+            & jnp.isfinite(self.effort_limit)
+            & jnp.isfinite(self.velocity_limit)
+        )
+        effort_min = jnp.where(apply_env, -el_fin * scale_min, effort_min)
+        effort_max = jnp.where(apply_env, el_fin * scale_max, effort_max)
 
         u_motor = jnp.clip(command, effort_min, effort_max)
         u_trans = self.mechanical_reduction * u_motor
