@@ -31,7 +31,9 @@ def main():
     ap.add_argument("--env", default="anymal-pid")
     ap.add_argument("--envs", type=int, default=2048)
     ap.add_argument("--steps", type=int, default=16)
-    ap.add_argument("--iters", type=int, default=5)
+    # Short runs under-report through the remote-dispatch pipeline (5 iters
+    # measured 50x too fast once); >=25 iters amortizes the dispatch slack.
+    ap.add_argument("--iters", type=int, default=25)
     ap.add_argument("--pallas", type=int, default=1024)
     args = ap.parse_args()
 
