@@ -67,6 +67,13 @@ def build_env(env_name, iter_max, stage_warm, contact_mode, pallas_tile):
 def rollout(env, batch, n_steps, time_it=False):
     keys = jax.random.split(jax.random.PRNGKey(0), batch)
     state, _ = jax.jit(jax.vmap(env.reset))(keys)
+    drop = float(os.environ.get("STUDY_DROP", "0"))
+    if drop:
+        # Impact-rich variant: start the base `drop` meters above the reset
+        # pose so every contact goes through touchdown (active-set flips +
+        # cold multipliers) instead of settled stance.
+        sim = state.sim
+        state = state.replace(sim=sim.replace(q=sim.q.at[..., 2].add(drop)))
     actions = jnp.zeros((batch, env.action_size), state.sim.q.dtype)
 
     def step_all(state, _):
