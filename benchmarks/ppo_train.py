@@ -35,6 +35,8 @@ def main():
     # measured 50x too fast once); >=25 iters amortizes the dispatch slack.
     ap.add_argument("--iters", type=int, default=25)
     ap.add_argument("--pallas", type=int, default=1024)
+    ap.add_argument("--contact", default="",
+                    help="override contact model, e.g. 'constraint'")
     args = ap.parse_args()
 
     from jiminy_tpu.envs import make
@@ -42,6 +44,21 @@ def main():
     from jiminy_tpu.rl import PPOConfig, make_train
 
     env = make(args.env, horizon=1000)
+    if args.contact:
+        import dataclasses
+
+        from jiminy_tpu.engine.config import ContactModel
+
+        eng = env.engine
+        eng.__init__(eng.robot, eng.options.replace(
+            contacts=dataclasses.replace(
+                eng.options.contacts, model=ContactModel(args.contact)
+            ),
+            joint_bounds_mode=(
+                "constraint" if args.contact == "constraint"
+                else eng.options.joint_bounds_mode
+            ),
+        ))
     if args.pallas:
         env.engine.options = env.engine.options.replace(pallas_tile=args.pallas)
         if env.engine._cdyn is not None:
