@@ -58,7 +58,7 @@ def build_env(env_name, iter_max, stage_warm, contact_mode, pallas_tile):
                 else eng.options.joint_bounds_mode
             ),
         )
-    eng.__init__(eng.robot, opts)
+    env.engine = eng = eng.with_options(opts)
     if eng._cdyn is not None:
         eng._cdyn.pallas_tile = pallas_tile
     return env

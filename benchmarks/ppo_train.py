@@ -50,7 +50,7 @@ def main():
         from jiminy_tpu.engine.config import ContactModel
 
         eng = env.engine
-        eng.__init__(eng.robot, eng.options.replace(
+        env.engine = eng.with_options(eng.options.replace(
             contacts=dataclasses.replace(
                 eng.options.contacts, model=ContactModel(args.contact)
             ),

@@ -50,6 +50,12 @@ class Engine:
     `jiminy_tpu.engine.coupling`.
     """
 
+    def with_options(self, options: EngineOptions) -> "Engine":
+        """Fresh engine on the same robot with different options.  Always use
+        this (never re-invoke ``__init__`` on a live engine) so every internal
+        cache (`_period_runs`, `_cdyn`, ...) is rebuilt from scratch."""
+        return type(self)(self.robot, options)
+
     def __init__(self, robot: Robot, options: Optional[EngineOptions] = None):
         self.robot = robot
         self.options = options or EngineOptions()

@@ -33,8 +33,11 @@ def _lit0(x) -> bool:
 
     Constraint rows are mostly structural zeros (a bound row touches one dof,
     a contact row only its support chain); skipping them at trace time prunes
-    the component graphs — numerically exact, since adding/multiplying an
-    exact 0.0 never changes the other operand."""
+    the component graphs — numerically exact for FINITE operands, since
+    adding/multiplying an exact 0.0 never changes them.  For non-finite
+    operands the pruned graph differs (0.0 * inf/NaN = NaN in the dense form,
+    dropped here), so diverged batch members can surface differently; the
+    stepper's own NaN->inf error mapping still flags them."""
     return isinstance(x, (int, float)) and x == 0.0
 _RELAX_MIN = 0.01
 _RELAX_MAX = 1.0

@@ -877,9 +877,12 @@ def test_constraint_mode_stage_warm_start_off_matches_generic():
 
 def test_stage_warm_start_low_iter_accuracy():
     """With stage-chained warm starts a small fixed PGS budget tracks the
-    high-iteration solution: iter_max=8 stays close to iter_max=64 over a
-    contact-rich swing (the reference reaches the same regime through its
-    residual-stagnation early exit, `constraint_solvers.cc:269-276`)."""
+    high-iteration solution *per step*: from identical states along the
+    converged trajectory, one step at iter_max=8 matches one step at
+    iter_max=64 tightly (the reference reaches the same regime through its
+    residual-stagnation early exit, `constraint_solvers.cc:269-276`).
+    End-of-rollout states are NOT compared — the fourbar swing is chaotic, so
+    per-step differences amplify without bounding solver accuracy."""
     from jiminy_tpu.engine import Engine, EngineOptions
     from jiminy_tpu.engine.config import ContactModel, StepperOptions
 
@@ -889,8 +892,8 @@ def test_stage_warm_start_low_iter_accuracy():
         transition_eps=1e-3,
     )
 
-    def rollout(iter_max):
-        eng = Engine(
+    def make(iter_max):
+        return Engine(
             robot,
             EngineOptions(
                 use_fast_dynamics="always",
@@ -899,14 +902,29 @@ def test_stage_warm_start_low_iter_accuracy():
                 joint_bounds_mode="constraint",
             ),
         )
-        st = eng.reset(jnp.asarray([0.4, -0.3, 0.2]))
-        step = jax.jit(eng.step)
-        for _ in range(100):
-            st = step(st, jnp.array([2.0]))
-        return st
 
-    st_lo, st_hi = rollout(8), rollout(64)
-    assert float(jnp.abs(st_hi.lam).max()) > 0.0
-    np.testing.assert_allclose(
-        np.asarray(st_lo.q), np.asarray(st_hi.q), atol=2e-3
-    )
+    eng_lo, eng_hi = make(8), make(64)
+    step_lo, step_hi = jax.jit(eng_lo.step), jax.jit(eng_hi.step)
+    u = jnp.array([2.0])
+    st = eng_hi.reset(jnp.asarray([0.4, -0.3, 0.2]))
+    touched = False
+    for k in range(100):
+        st_next = step_hi(st, u)
+        if k % 10 == 0:
+            # Re-step the SAME state with the small budget: per-step deviation
+            # bounds the solver truncation error, free of chaotic growth.
+            st_lo = step_lo(st, u)
+            # Touchdown active-set flips genuinely need iterations (see
+            # benchmarks/pgs_study.py STUDY_DROP): budget-8 deviates up to
+            # ~2.5% relative in v at impact steps, far less elsewhere.
+            np.testing.assert_allclose(
+                np.asarray(st_lo.q), np.asarray(st_next.q),
+                atol=2e-4, rtol=0.0,
+            )
+            np.testing.assert_allclose(
+                np.asarray(st_lo.v), np.asarray(st_next.v),
+                atol=5e-3, rtol=5e-2,
+            )
+        touched = touched or float(jnp.abs(st_next.lam).max()) > 0.0
+        st = st_next
+    assert touched
