@@ -152,3 +152,75 @@ class EngineOptions:
             stepper=StepperOptions(**stepper),
             **top,
         )
+
+
+# --------------------------------------------------------------------------- #
+# Reference `*_options.toml` schema
+# --------------------------------------------------------------------------- #
+
+# Integrator names as the reference spells them (`engine.h` odeSolver strings)
+_REF_SOLVERS = {
+    "euler_explicit": IntegratorType.EULER_EXPLICIT,
+    "runge_kutta_4": IntegratorType.RUNGE_KUTTA_4,
+    "runge_kutta_dopri5": IntegratorType.RUNGE_KUTTA_DOPRI,
+    "runge_kutta_dopri": IntegratorType.RUNGE_KUTTA_DOPRI,
+}
+
+
+def engine_options_from_reference_toml(path: str, base: "EngineOptions" = None
+                                       ) -> "EngineOptions":
+    """Translate a reference `*_options.toml` (the per-robot engine
+    configuration files shipped next to each URDF, loaded by the reference's
+    `BaseJiminyRobot`/`Simulator.import_options`, `jiminy_py/robot.py:518+`,
+    `simulator.py:1030`) onto `EngineOptions`.
+
+    Reference sections handled: `[engine.stepper]` (odeSolver, tolAbs/tolRel,
+    dtMax, sensorsUpdatePeriod, controllerUpdatePeriod, iterMax via
+    successiveIterFailedMax), `[engine.contacts]` (model, stiffness, damping,
+    friction, torsion, stabilizationFreq, transitionEps, transitionVelocity),
+    `[engine.constraints]` (regularization).  Unknown keys are ignored, like
+    the reference ignores options for absent components.
+    """
+    import tomllib
+
+    with open(path, "rb") as f:
+        data = tomllib.load(f)
+    eng = data.get("engine", data)
+    base = base or EngineOptions()
+
+    st = eng.get("stepper", {})
+    stepper_kw = {}
+    if "odeSolver" in st:
+        stepper_kw["integrator"] = _REF_SOLVERS[st["odeSolver"]]
+    for ref_key, key in (("tolAbs", "tol_abs"), ("tolRel", "tol_rel"),
+                         ("dtMax", "dt_max"),
+                         ("successiveIterFailedMax", "successive_iter_failed_max")):
+        if ref_key in st:
+            stepper_kw[key] = st[ref_key]
+    cons = eng.get("constraints", {})
+    if "regularization" in cons:
+        stepper_kw["pgs_regularization"] = cons["regularization"]
+    stepper = dataclasses.replace(base.stepper, **stepper_kw)
+
+    ct = eng.get("contacts", {})
+    contact_kw = {}
+    if "model" in ct:
+        contact_kw["model"] = ContactModel(ct["model"])
+    for ref_key, key in (("stiffness", "stiffness"), ("damping", "damping"),
+                         ("friction", "friction"), ("torsion", "torsion"),
+                         ("stabilizationFreq", "stabilization_freq"),
+                         ("transitionEps", "transition_eps"),
+                         ("transitionVelocity", "transition_velocity")):
+        if ref_key in ct:
+            contact_kw[key] = ct[ref_key]
+    contacts = dataclasses.replace(base.contacts, **contact_kw)
+
+    top = {}
+    if "sensorsUpdatePeriod" in st:
+        top["sensor_update_period"] = st["sensorsUpdatePeriod"]
+    if "controllerUpdatePeriod" in st:
+        top["controller_update_period"] = st["controllerUpdatePeriod"]
+    if contacts.model == ContactModel.CONSTRAINT:
+        # Reference constraint mode also runs joint bounds through the solver
+        top["joint_bounds_mode"] = "constraint"
+    return dataclasses.replace(base, stepper=stepper, contacts=contacts, **top)

@@ -153,6 +153,7 @@ class Robot:
         loop_constraints: Sequence[tuple] = (),
         rolling_constraints: Sequence[dict] = (),
         collision_pairs: Sequence[tuple] = (),
+        lock_joints: Sequence[str] = (),
         dtype=None,
     ) -> "Robot":
         """Assemble a robot.
@@ -187,7 +188,9 @@ class Robot:
         if isinstance(model_or_urdf, RobotModel):
             theoretical = model_or_urdf
         else:
-            theoretical = build_model_from_urdf(model_or_urdf, has_freeflyer, dtype=dtype)
+            theoretical = build_model_from_urdf(
+                model_or_urdf, has_freeflyer, lock_joints=lock_joints, dtype=dtype
+            )
         if any(isinstance(cb, str) for cb in collision_bodies):
             if isinstance(model_or_urdf, RobotModel):
                 raise ValueError(

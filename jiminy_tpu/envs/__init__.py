@@ -12,6 +12,7 @@ from jiminy_tpu.envs.bipeds import (
     AtlasEnv,
     AtlasPDControlEnv,
     AtlasReducedEnv,
+    AtlasReducedPDControlEnv,
     CassieEnv,
     CassiePDControlEnv,
     DigitEnv,
@@ -32,6 +33,7 @@ _REGISTRY = {
     "atlas": AtlasEnv,
     "atlas-reduced": AtlasReducedEnv,
     "atlas-pid": AtlasPDControlEnv,
+    "atlas-reduced-pid": AtlasReducedPDControlEnv,
 }
 
 

@@ -64,9 +64,10 @@ class WalkerEnv(BaseEnv):
             from jiminy_tpu.ops.kinematics import forward_kinematics, frame_placement
 
             kin = forward_kinematics(robot.model, jnp.asarray(nominal_q))
+            radii = robot.contact_radii or (0.0,) * len(robot.contact_frame_indices)
             min_z = min(
-                float(frame_placement(robot.model, kin, f).pos[2])
-                for f in robot.contact_frame_indices
+                float(frame_placement(robot.model, kin, f).pos[2]) - r
+                for f, r in zip(robot.contact_frame_indices, radii)
             )
             nominal_q[2] -= min_z - 1e-3
         self.nominal_q = jnp.asarray(nominal_q, self.engine.dtype)

@@ -319,24 +319,45 @@ class MahonyFilter:
     def setup(self, env):
         self.n_imu = env.robot.sensors.imu.nsensors
         self._dt = env.engine.sensor_period
+        self._model = env.robot.model
+        self._imu_frames = env.robot.sensors.imu.frame_indices
         return self
 
     def init_state(self, env_state):
+        """Initial attitude estimate (reference `refresh_observation` init
+        branch, `mahony_filter.py:338-368`): ``exact_init=True`` seeds from
+        the TRUE IMU frame orientations (forward kinematics on the reset
+        state); ``False`` seeds the swing (tilt) from the measured
+        acceleration, falling back to ground truth when the robot is in free
+        fall (|acc| < 0.1 g — e.g. dropped onto the ground at reset)."""
+        from jiminy_tpu.ops.kinematics import forward_kinematics, frame_placement
+
         imu = env_state.sim.measurements["imu"]  # (nimu, 6)
         dtype = imu.dtype
-        quat = jnp.zeros(imu.shape[:-1] + (4,), dtype).at[..., 3].set(1.0)
+        kin = forward_kinematics(self._model, env_state.sim.q)
+        quat_true = jnp.stack(
+            [
+                lie.mat_to_quat(frame_placement(self._model, kin, f).rot)
+                for f in self._imu_frames
+            ],
+            axis=-2,
+        ).astype(dtype)
         if self.exact_init:
-            # Tilt from the accelerometer: rotation aligning e_z with acc dir
+            quat = quat_true
+        else:
+            # Swing (tilt-only) rotation aligning e_z with the accel direction
             acc = imu[..., 3:6]
-            a = acc / jnp.maximum(jnp.linalg.norm(acc, axis=-1, keepdims=True), 1e-9)
+            norm = jnp.linalg.norm(acc, axis=-1, keepdims=True)
+            a = acc / jnp.maximum(norm, 1e-9)
             ez = jnp.zeros_like(a).at[..., 2].set(1.0)
             axis = jnp.cross(a, ez)
             s = jnp.linalg.norm(axis, axis=-1)
             c = a[..., 2]
             angle = jnp.arctan2(s, c)
             axis = axis / jnp.maximum(s[..., None], 1e-9)
-            quat = lie.exp3(axis * angle[..., None])
-            quat = lie.quat_conjugate(quat)
+            quat = lie.quat_conjugate(lie.exp3(axis * angle[..., None]))
+            free_fall = norm < 0.1 * self.EARTH_SURFACE_GRAVITY
+            quat = jnp.where(free_fall, quat_true, quat)
         bias = jnp.zeros(imu.shape[:-1] + (3,), dtype)
         return {"quat": quat, "bias": bias}
 

@@ -43,37 +43,80 @@ _SENSOR_KIND = {
     "ForceSensor": "force",
 }
 
+# The reference's hardware TOMLs use camelCase motor option names matching its
+# `SimpleMotor` options struct (`core/include/jiminy/core/hardware/
+# basic_motors.h`, files e.g. `data/bipedal_robots/cassie/
+# cassie_hardware.toml`); map them onto `build_motor_bank` spec keys.  The
+# semantics are identical (same sign conventions: friction coefficients are
+# negative and *added*, `basic_motors.cc:100-143`).
+_MOTOR_KEY_MAP = {
+    "mechanicalReduction": "mechanical_reduction",
+    "effortLimit": "effort_limit",
+    "velocityLimit": "velocity_limit",
+    "enableEffortLimit": "enable_effort_limit",
+    "enableVelocityLimit": "enable_velocity_limit",
+    "velocityEffortInvSlope": "velocity_effort_inv_slope",
+    "enableFriction": "enable_friction",
+    "frictionViscousPositive": "friction_viscous_pos",
+    "frictionViscousNegative": "friction_viscous_neg",
+    "frictionDryPositive": "friction_dry_pos",
+    "frictionDryNegative": "friction_dry_neg",
+    "frictionDrySlope": "friction_dry_slope",
+    "enableBacklash": "enable_backlash",
+    "backlash": "backlash",
+}
+
 
 def load_hardware_description_file(path: str) -> dict:
-    """Parse a `*_hardware.toml` into Robot.build keyword arguments."""
+    """Parse a `*_hardware.toml` into Robot.build keyword arguments.
+
+    Accepts both this package's snake_case schema (docstring above) and the
+    reference's native schema (`contactFrameNames`/`collisionBodyNames`
+    globals + camelCase motor options) so the reference's own asset files
+    (vendored under `jiminy_tpu/data/`) load unmodified
+    (reference `jiminy_py.robot.load_hardware_description_file`,
+    `robot.py:518`)."""
     import tomllib
 
     with open(path, "rb") as f:
         data = tomllib.load(f)
     out: dict = {
-        "has_freeflyer": bool(data.get("has_freeflyer", False)),
         "motors": [],
         "sensors": {},
         "contact_frames": [],
         "collision_bodies": [],
         "flexibility": [],
         "loop_constraints": [],
+        "extra": {},
     }
-    glob = data.get("Global", {})
-    out["contact_frames"] = list(glob.get("contact_frames", []))
-    out["loop_constraints"] = [tuple(p) for p in glob.get("loop_constraints", [])]
+    # Only propagate has_freeflyer when the file actually declares it (the
+    # reference TOMLs don't — the env passes it to the URDF builder instead)
+    if "has_freeflyer" in data:
+        out["has_freeflyer"] = bool(data["has_freeflyer"])
+    glob = dict(data.get("Global", {}))
+    out["contact_frames"] = list(
+        glob.pop("contact_frames", None) or glob.pop("contactFrameNames", [])
+    )
+    out["loop_constraints"] = [tuple(p) for p in glob.pop("loop_constraints", [])]
     # Link names whose URDF <collision> geometry becomes ground contact points
     # (reference `collisionBodyNames`, jiminy_py/robot.py:518); inline-table
     # primitive specs are passed through as-is.
     out["collision_bodies"] = list(
-        glob.get("collision_bodies", glob.get("collisionBodyNames", []))
+        glob.pop("collision_bodies", None) or glob.pop("collisionBodyNames", [])
     )
+    # Remaining globals (e.g. sensorsUpdatePeriod/controllerUpdatePeriod) are
+    # surfaced for the caller, like the reference's `extra_info` return.
+    out["extra"] = glob
 
     for _kind, motors in data.get("Motor", {}).items():
         for name, spec in motors.items():
-            spec = dict(spec)
+            spec = {_MOTOR_KEY_MAP.get(k, k): v for k, v in spec.items()}
             spec.setdefault("name", name)
             spec.setdefault("joint_name", name)
+            # Backlash joints are inserted iff the play is > 0; the reference
+            # gates the value behind an enableBacklash flag instead.
+            if not spec.pop("enable_backlash", True):
+                spec.pop("backlash", None)
             out["motors"].append(spec)
 
     for sensor_type, sensors in data.get("Sensor", {}).items():

@@ -31,6 +31,13 @@ def _parse_origin(elem: Optional[ET.Element]) -> tuple[np.ndarray, np.ndarray]:
     return _rpy_mat(rpy), xyz
 
 
+def _axis_angle_mat(axis: np.ndarray, theta: float) -> np.ndarray:
+    """Rodrigues rotation about a unit axis."""
+    k = np.asarray(axis, dtype=float)
+    kx = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+    return np.eye(3) + np.sin(theta) * kx + (1.0 - np.cos(theta)) * (kx @ kx)
+
+
 def _rpy_mat(rpy: np.ndarray) -> np.ndarray:
     r, p, y = rpy
     cr, sr, cp, sp, cy, sy = np.cos(r), np.sin(r), np.cos(p), np.sin(p), np.cos(y), np.sin(y)
@@ -96,9 +103,21 @@ def build_model_from_urdf(
     path_or_str: str,
     has_freeflyer: bool = False,
     root_joint_name: str = "root_joint",
+    lock_joints: Sequence[str] = (),
     dtype=None,
 ) -> RobotModel:
-    """Parse a URDF file (or literal XML string) into a RobotModel."""
+    """Parse a URDF file (or literal XML string) into a RobotModel.
+
+    ``lock_joints`` folds the named movable joints away — a sequence of names
+    (locked at the neutral configuration, angle/displacement 0) or a
+    ``{name: angle}`` mapping (locked at the given 1-dof joint position) —
+    exactly like the reference envs' `pinocchio.buildReducedModel(model,
+    locked_indices, qpos)` calls (Cassie/Digit passive shin-spring joints at
+    neutral, `gym_jiminy/envs/.../cassie.py:92-100`; AtlasReduced upper body
+    at a posed configuration, `atlas.py:200-207`): the child subtree
+    re-attaches to the parent through the joint placement composed with the
+    locked joint motion, the child link inertia merges into the supporting
+    link, and an operational frame keeps the joint name addressable."""
     import jax.numpy as jnp
 
     if dtype is None:
@@ -123,6 +142,8 @@ def build_model_from_urdf(
         raise ValueError(f"expected one root link, got {root_links}")
     root_link = root_links[0]
 
+    lock_angles = dict(lock_joints) if isinstance(lock_joints, dict) else {}
+    lock_set = set(lock_joints)
     joint_specs: list[dict] = []
     frame_specs: list[dict] = []
     # Deferred inertia accumulation: joint index -> _LinkInertia in joint frame
@@ -144,7 +165,22 @@ def build_model_from_urdf(
             # Placement of the joint's fixed attachment frame in the parent *joint* frame
             a_rot, a_pos = rot @ j_rot, rot @ j_pos + pos
             child_link = joint.find("child").get("link")
-            if jtype_str == "fixed":
+            if jtype_str == "fixed" or jname in lock_set:
+                if jname in lock_set:
+                    theta = lock_angles.get(jname, 0.0)
+                    lock_set.discard(jname)
+                    if theta != 0.0:
+                        axis_el = joint.find("axis")
+                        axis = (
+                            np.array([float(x) for x in axis_el.get("xyz").split()])
+                            if axis_el is not None
+                            else np.array([1.0, 0.0, 0.0])
+                        )
+                        axis = axis / max(np.linalg.norm(axis), 1e-12)
+                        if jtype_str == "prismatic":
+                            a_pos = a_pos + a_rot @ (axis * theta)
+                        else:
+                            a_rot = a_rot @ _axis_angle_mat(axis, theta)
                 frame_specs.append(
                     {"name": jname, "parent": parent_joint, "placement": (a_rot, a_pos)}
                 )
@@ -208,6 +244,8 @@ def build_model_from_urdf(
     else:
         visit(root_link, -1, np.eye(3), np.zeros(3))
 
+    if lock_set:
+        raise ValueError(f"lock_joints not found in URDF: {sorted(lock_set)}")
     # Fill merged inertias back into the joint specs
     for i, spec in enumerate(joint_specs):
         li = inertias.get(i, _LinkInertia())
@@ -269,6 +307,104 @@ def load_mesh_vertices(path: str, scale=None) -> np.ndarray:
     return out
 
 
+def oriented_bounding_box(points: np.ndarray) -> np.ndarray:
+    """8 vertices of a near-minimum-volume oriented bounding box of a cloud.
+
+    Role-equivalent to the reference's `trimesh.bounding_box_oriented` used to
+    replace collision meshes by contact points at the OBB vertices
+    (`jiminy_py/robot.py:697-720`): searches orientations with a box face
+    flush to a convex-hull facet, solving the in-plane rotation exactly with
+    2D rotating calipers (minimum-area rectangle).  Returns an (8, 3) array
+    ordered by the sign pattern (-/-/-, -/-/+, -/+/-, ... +/+/+) of the local
+    box axes, axes sorted so the box's shortest extent is last.
+    """
+    from scipy.spatial import ConvexHull
+
+    pts = np.asarray(points, dtype=np.float64).reshape(-1, 3)
+    hull = ConvexHull(pts)
+    hp = pts[np.unique(hull.vertices)]
+
+    def min_area_rect(xy: np.ndarray) -> tuple:
+        """(area, R2) minimum-area rectangle of 2D points via edge-flush search."""
+        h2 = ConvexHull(xy)
+        poly = xy[h2.vertices]
+        edges = np.roll(poly, -1, axis=0) - poly
+        ang = np.unique(np.mod(np.arctan2(edges[:, 1], edges[:, 0]), np.pi / 2))
+        best = (np.inf, np.eye(2))
+        for a in ang:
+            c, s = np.cos(a), np.sin(a)
+            r = np.array([[c, s], [-s, c]])
+            proj = poly @ r.T
+            ext = proj.max(axis=0) - proj.min(axis=0)
+            area = float(ext[0] * ext[1])
+            if area < best[0]:
+                best = (area, r)
+        return best
+
+    best_vol, best_rot = np.inf, np.eye(3)
+    # Unit normals of the hull facets (deduplicated by rounding)
+    normals = hull.equations[:, :3]
+    normals = np.unique(np.round(normals, 9), axis=0)
+    for n in normals:
+        n = n / np.linalg.norm(n)
+        ref = np.array([1.0, 0.0, 0.0]) if abs(n[0]) < 0.9 else np.array([0.0, 1.0, 0.0])
+        u = np.cross(n, ref)
+        u /= np.linalg.norm(u)
+        w = np.cross(n, u)
+        xy = hp @ np.stack([u, w], axis=1)
+        _, r2 = min_area_rect(xy)
+        # Box frame: rows = axes (in-plane rotated u, w, then n)
+        axes = np.vstack([r2 @ np.vstack([u, w]), n[None]])
+        proj = hp @ axes.T
+        ext = proj.max(axis=0) - proj.min(axis=0)
+        vol = float(np.prod(ext))
+        if vol < best_vol:
+            best_vol, best_rot = vol, axes
+    proj = hp @ best_rot.T
+    lo, hi = proj.min(axis=0), proj.max(axis=0)
+    # Put the shortest extent on the last axis for a deterministic layout
+    order = np.argsort(-(hi - lo))
+    rot = best_rot[order]
+    lo, hi = lo[order], hi[order]
+    corners_local = np.array(
+        [
+            [lo[0] if not (i & 4) else hi[0],
+             lo[1] if not (i & 2) else hi[1],
+             lo[2] if not (i & 1) else hi[2]]
+            for i in range(8)
+        ]
+    )
+    return corners_local @ rot
+
+
+def parse_visual_geometries(path_or_str: str) -> dict[str, list[dict]]:
+    """Per-link ``<visual>`` geometry specs, same format as
+    `parse_collision_geometries` but WITHOUT eager mesh loading (the
+    ``filename``/``scale`` attributes are returned raw).  Used by the asset
+    pipeline when a collision body has no collision geometry and the
+    reference falls back to the visual mesh (`jiminy_py/robot.py:602-610`)."""
+    if os.path.exists(path_or_str):
+        root = ET.parse(path_or_str).getroot()
+    else:
+        root = ET.fromstring(path_or_str)
+    out: dict[str, list[dict]] = {}
+    for link in root.findall("link"):
+        lname = link.get("name")
+        specs = []
+        for vis in link.findall("visual"):
+            geom = vis.find("geometry")
+            if geom is None or len(geom) == 0:
+                continue
+            g = geom[0]
+            rot, pos = _parse_origin(vis.find("origin"))
+            spec: dict = {"frame_name": lname, "origin": (rot, pos), "tag": g.tag}
+            spec.update({k: v for k, v in g.attrib.items()})
+            specs.append(spec)
+        if specs:
+            out[lname] = specs
+    return out
+
+
 def _resolve_mesh_path(filename: str, urdf_dir: str, mesh_dirs=()) -> str:
     """Resolve a URDF mesh reference (``package://...`` or relative path)."""
     cands = []
@@ -290,9 +426,12 @@ def _resolve_mesh_path(filename: str, urdf_dir: str, mesh_dirs=()) -> str:
 
 
 def parse_collision_geometries(
-    path_or_str: str, mesh_dirs=()
+    path_or_str: str, mesh_dirs=(), links=None
 ) -> dict[str, list[dict]]:
     """Parse per-link ``<collision>`` geometries from a URDF.
+
+    ``links`` optionally restricts parsing to the named links (so mesh files
+    of unrelated links need not be present on disk).
 
     Role-equivalent to the reference's collision-body pipeline: hardware-file
     ``collisionBodyNames`` designate links whose collision geometry (declared
@@ -312,6 +451,8 @@ def parse_collision_geometries(
     out: dict[str, list[dict]] = {}
     for link in root.findall("link"):
         lname = link.get("name")
+        if links is not None and lname not in links:
+            continue
         specs = []
         for col in link.findall("collision"):
             geom = col.find("geometry")

@@ -47,13 +47,31 @@ class Simulator:
         hardware_path: Optional[str] = None,
         has_freeflyer: bool = False,
         options: Optional[EngineOptions] = None,
+        config_path: Optional[str] = None,
         **robot_kwargs,
     ) -> "Simulator":
-        """Build from a URDF and an optional `*_hardware.toml` (reference
-        `BaseJiminyRobot` + hardware file, `robot.py:518`)."""
+        """Build from a URDF and optional `*_hardware.toml` / `*_options.toml`
+        files (reference `BaseJiminyRobot` + hardware file, `robot.py:518`).
+
+        Both sidecar files are auto-discovered next to the URDF when not given
+        explicitly, like the reference does (`robot.py:850+`,
+        `Simulator.build` config_path handling): `*_options.toml` uses the
+        reference schema (`[engine.stepper]`, `[engine.contacts]`, ...) and is
+        translated by `engine_options_from_reference_toml`; explicit
+        ``options`` win over the file."""
         if hardware_path is None:
             guess = os.path.splitext(urdf_path)[0] + "_hardware.toml"
             hardware_path = guess if os.path.exists(guess) else None
+        if options is None:
+            if config_path is None:
+                guess = os.path.splitext(urdf_path)[0] + "_options.toml"
+                config_path = guess if os.path.exists(guess) else None
+            if config_path is not None:
+                from jiminy_tpu.engine.config import (
+                    engine_options_from_reference_toml,
+                )
+
+                options = engine_options_from_reference_toml(config_path)
         hw = load_hardware_description_file(hardware_path) if hardware_path else {}
         robot = Robot.build(
             urdf_path,

@@ -10,7 +10,7 @@ import pytest
 from jiminy_tpu.envs import make
 
 
-@pytest.mark.parametrize("name,nmot", [("cassie", 10), ("atlas-reduced", 15)])
+@pytest.mark.parametrize("name,nmot", [("cassie", 10), ("atlas-reduced", 12)])
 def test_biped_rollout_no_nan(name, nmot):
     env = make(name)
     st, obs = env.reset(jax.random.PRNGKey(0))

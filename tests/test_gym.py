@@ -75,9 +75,11 @@ def test_pd_controller_tracks_target():
 
 
 def test_mahony_filter_static_convergence():
-    """On a static robot the Mahony estimate must converge to the true base
-    attitude (identity here)."""
-    env = make("anymal")
+    """On a (PD-held) static robot the Mahony estimate must converge to the
+    true IMU frame attitude.  The real ANYmal mounts its IMU yawed 90 deg on
+    the base (anymal.urdf imu_joint rpy="0 0 1.5708"), so the estimate is
+    compared against the FK orientation of the sensor frame, not the base."""
+    env = make("anymal-pid")
     mah = MahonyFilter(kp=5.0, ki=0.1).setup(env)
     wrapped = ObservedEnv(env, mah)
     st, obs = wrapped.reset(jax.random.PRNGKey(0))
@@ -85,8 +87,14 @@ def test_mahony_filter_static_convergence():
     for _ in range(25):
         st, obs, *_ = step(st, jnp.zeros((env.action_size,)))
     quat = np.asarray(obs["features"]["mahony_filter"]["attitude"][0])
-    # The true base orientation:
-    true_quat = np.asarray(st.sim.q[3:7])
+    # The true IMU frame orientation from forward kinematics:
+    from jiminy_tpu.ops import lie
+    from jiminy_tpu.ops.kinematics import forward_kinematics, frame_placement
+
+    model = env.robot.model
+    kin = forward_kinematics(model, st.sim.q)
+    fidx = env.robot.sensors.imu.frame_indices[0]
+    true_quat = np.asarray(lie.mat_to_quat(frame_placement(model, kin, fidx).rot))
     dot = abs(float(np.dot(quat, true_quat)))
     assert dot > 0.999  # within ~2.5 deg
 

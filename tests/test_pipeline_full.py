@@ -24,6 +24,14 @@ def test_anymal_pipeline_toml():
         rs.append(float(r))
     assert not bool(te)
     assert 0.4 < np.mean(rs) <= 1.2  # mixture of normalized rewards - power
-    # Mahony attitude near identity for the standing robot
+    # Mahony attitude tracks the true IMU orientation of the standing robot
+    # (the real ANYmal mounts its IMU yawed 90 deg on the base)
+    from jiminy_tpu.ops import lie
+    from jiminy_tpu.ops.kinematics import forward_kinematics, frame_placement
+
     quat = np.asarray(obs["features"]["mahony_filter"]["attitude"][0])
-    assert abs(abs(quat[3]) - 1.0) < 0.05
+    model = env.robot.model
+    kin = forward_kinematics(model, st.sim.q)
+    fidx = env.robot.sensors.imu.frame_indices[0]
+    true_quat = np.asarray(lie.mat_to_quat(frame_placement(model, kin, fidx).rot))
+    assert abs(float(np.dot(quat, true_quat))) > 0.995
