@@ -84,6 +84,11 @@ class StepperOptions:
     # (`constraint_solvers.cc:344,436-444`).  False freezes them at the
     # engine-tick start instead (cheaper to trace, slightly laxer warm start).
     pgs_stage_warm_start: bool = True
+    # Wall-clock budget [s] for one `Simulator.simulate` call; <= 0 disables.
+    # Enforced between jitted chunks on the host (the reference checks it in
+    # its host stepping loop, `engine.cc:2379-2384`) — a jitted region cannot
+    # observe wall time, so the granularity is one dispatch chunk.
+    timeout: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -41,6 +41,10 @@ from jiminy_tpu.ops import integrate as integ
 from jiminy_tpu.ops import lie
 from jiminy_tpu.ops.kinematics import forward_kinematics, joint_space_jacobian
 
+# Fixed-point rounds solving the accel <-> sensors <-> command algebraic
+# coupling at simulation start (reference `engine.cc:61`).
+INIT_ITERATIONS = 4
+
 
 class Engine:
     """Single-robot engine facade holding static configuration.
@@ -782,6 +786,19 @@ class Engine:
             "model": state.model_params,
         }
 
+    def _tick_time(self, tick, t_prev, n_ticks: int):
+        """Simulation time at engine tick `tick`, derived from the integer tick
+        counter: `t = tick * tick_period` (single rounding, <= 0.5 ulp of t)
+        instead of accumulating `t += dt` per tick, whose error grows with the
+        tick count.  This is the TPU-f32 answer to the reference's
+        Kahan-compensated time accumulation (`engine.cc:1790-1795`) and int64
+        telemetry time (`constants.h:18-20`): the int32 tick IS the exact
+        clock; float time is a projection of it.  Falls back to accumulation
+        when the state carries no tick counter."""
+        if tick is None:
+            return t_prev + jnp.asarray(n_ticks * self.tick_period, self.dtype)
+        return tick.astype(self.dtype) * jnp.asarray(self.tick_period, self.dtype)
+
     def _model_of(self, carry) -> "object":
         if carry is not None and carry.get("model") is not None:
             return carry["model"]
@@ -838,38 +855,60 @@ class Engine:
         # `_final_eval` routes through the fused component-wise dynamics when
         # available (bit-identical to `dynamics_full` at f64) — resets happen
         # every step under auto-reset training, so this is a hot path.
-        a0, aux = self._final_eval(jnp.asarray(0.0, self.dtype), q0, v0, command, carry0)
-        nc = len(self.robot.contact_frame_indices)
-        st = SimState(
-            t=jnp.asarray(0.0, self.dtype),
-            q=q0,
-            v=v0,
-            a=a0,
-            command=command,
-            u_motor=aux["u_motor"],
-            contact_forces=aux["contact_f_world"],
-            stepper=StepperState(
-                dt=jnp.asarray(
-                    min(self.options.stepper.dt_init, self.options.stepper.dt_max), self.dtype
+        t0 = jnp.asarray(0.0, self.dtype)
+
+        def mk_state(command, a0, aux):
+            """Fresh t=0 state from a dynamics eval — rings start empty so the
+            fixed-point iterations below do not pollute the delay lines."""
+            return SimState(
+                t=t0,
+                q=q0,
+                v=v0,
+                a=a0,
+                command=command,
+                u_motor=aux["u_motor"],
+                contact_forces=aux["contact_f_world"],
+                stepper=StepperState(
+                    dt=jnp.asarray(
+                        min(self.options.stepper.dt_init, self.options.stepper.dt_max),
+                        self.dtype,
+                    ),
+                    iterations=jnp.asarray(0, jnp.int32),
+                    iter_failed=jnp.asarray(0, jnp.int32),
+                    successive_iter_failed=jnp.asarray(0, jnp.int32),
+                    diverged=jnp.asarray(False),
                 ),
-                iterations=jnp.asarray(0, jnp.int32),
-                iter_failed=jnp.asarray(0, jnp.int32),
-                successive_iter_failed=jnp.asarray(0, jnp.int32),
-                diverged=jnp.asarray(False),
-            ),
-            sensor_rings=self.robot.sensors.init_rings(self.sensor_period, self.dtype),
-            measurements={},
-            key=key,
-            tick=jnp.asarray(0, jnp.int32),
-            contact_active=aux.get("contact_active", carry0["contact_active"]),
-            bound_active=aux.get("bound_active", carry0["bound_active"]),
-            lam=aux.get("lam", carry0["lam"]),
-            distance_ref=dist_ref,
-            rolling_ref=roll_ref,
-            model_params=model_params,
-        )
+                sensor_rings=self.robot.sensors.init_rings(
+                    self.sensor_period, self.dtype
+                ),
+                measurements={},
+                key=key,
+                tick=jnp.asarray(0, jnp.int32),
+                contact_active=aux.get("contact_active", carry0["contact_active"]),
+                bound_active=aux.get("bound_active", carry0["bound_active"]),
+                lam=aux.get("lam", carry0["lam"]),
+                distance_ref=dist_ref,
+                rolling_ref=roll_ref,
+                model_params=model_params,
+            )
+
+        a0, aux = self._final_eval(t0, q0, v0, command, carry0)
         # Prime sensors at t=0 so the first observation is valid
-        st = self._update_sensors(st, a0, aux)
+        st = self._update_sensors(mk_state(command, a0, aux), a0, aux)
+        # Algebraic coupling accel <-> sensors <-> command: with an attached
+        # sensor-feedback controller the initial (measurements, command, a)
+        # triple is mutually dependent; iterate to a fixed point exactly like
+        # the reference `Engine::start` (INIT_ITERATIONS=4 rounds of
+        # accel -> sensors -> command, `engine.cc:61,1400-1467`).  Each round
+        # rebuilds the state from scratch (same RNG key, empty rings), so the
+        # converged round is the only one that leaves a trace.
+        if self.controller is not None:
+            for _ in range(INIT_ITERATIONS):
+                command = jnp.asarray(
+                    self.controller(st.t, st.q, st.v, st.measurements), self.dtype
+                )
+                a0, aux = self._final_eval(t0, q0, v0, command, carry0)
+                st = self._update_sensors(mk_state(command, a0, aux), a0, aux)
         return st
 
     # ------------------------------------------------------------------ #
@@ -1343,8 +1382,9 @@ class Engine:
             extras[..., :n_std], command, v,
             n_lam=n_lam, n_cact=n_cact, n_bact=n_bact,
         )
+        tick_new = state.tick + n_periods if state.tick is not None else None
         st = state.replace(
-            t=state.t + jnp.asarray(n_periods * self.tick_period, self.dtype),
+            t=self._tick_time(tick_new, state.t, n_periods),
             q=integ.normalize(robot.model, q),
             v=v,
             a=a,
@@ -1358,9 +1398,7 @@ class Engine:
                 iterations=state.stepper.iterations
                 + n_periods * self.n_substeps
             ),
-            tick=(
-                state.tick + n_periods if state.tick is not None else None
-            ),
+            tick=tick_new,
         )
         st = self._update_sensors(st, a, aux)
         return st, carry_new
@@ -1381,7 +1419,7 @@ class Engine:
             st2, a, aux, stepper = self._integrate_period(st, command)
             tick = st.tick + 1 if st.tick is not None else None
             st2 = st2.replace(
-                t=st.t + jnp.asarray(self.tick_period, self.dtype),
+                t=self._tick_time(tick, st.t, 1),
                 stepper=stepper,
                 u_motor=aux["u_motor"],
                 contact_forces=aux["contact_f_world"],

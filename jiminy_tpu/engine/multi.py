@@ -350,7 +350,8 @@ class MultiRobotEngine:
                     states_c[n].tick + 1 if states_c[n].tick is not None else None
                 )
                 st = states_c[n].replace(
-                    t=t_end,
+                    # Integer-tick-derived time (see Engine._tick_time).
+                    t=eng._tick_time(tick_n, t_end, 0),
                     q=q,
                     v=vs[n],
                     a=a,

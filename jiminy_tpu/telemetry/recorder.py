@@ -115,9 +115,41 @@ class TelemetryRecorder:
             st = self.engine.step(st, cmd)
             return st, self.snapshot(st)
 
-        final, cols = jax.lax.scan(body, state, None, length=n_steps)
+        timeout = getattr(self.engine.options.stepper, "timeout", 0.0)
+        if timeout and timeout > 0.0:
+            # Wall-clock budget (reference `engine.cc:2379-2384`): a jitted
+            # scan cannot observe host time, so dispatch in chunks and check
+            # the clock between them.
+            import time
+
+            chunk_len = max(1, min(n_steps, 32))
+            chunk = jax.jit(
+                lambda st: jax.lax.scan(body, st, None, length=chunk_len)
+            )
+            t_start = time.monotonic()
+            final, parts, done = state, [], 0
+            while done < n_steps:
+                if time.monotonic() - t_start > timeout:
+                    raise TimeoutError(
+                        "Step computation timeout. Aborting integration "
+                        f"(timeout={timeout}s after {done}/{n_steps} steps)."
+                    )
+                take = min(chunk_len, n_steps - done)
+                if take == chunk_len:
+                    final, cols = chunk(final)
+                else:
+                    final, cols = jax.lax.scan(body, final, None, length=take)
+                jax.block_until_ready(final)
+                parts.append(cols)
+                done += take
+            variables = {
+                k: np.concatenate([np.asarray(p[k]) for p in parts])
+                for k in parts[0]
+            }
+        else:
+            final, cols = jax.lax.scan(body, state, None, length=n_steps)
+            variables = {k: np.asarray(v) for k, v in cols.items()}
         constants = self._constants()
-        variables = {k: np.asarray(v) for k, v in cols.items()}
         return final, LogData(constants=constants, variables=variables)
 
     def _constants(self) -> Dict[str, str]:

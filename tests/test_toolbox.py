@@ -25,6 +25,68 @@ def test_convex_hull_signed_distance():
     assert abs(d_corner - np.sqrt(2.0)) < 1e-6
 
 
+def _scipy_hull_signed_distance(points: np.ndarray, queries: np.ndarray):
+    """Oracle: signed distance to the scipy Qhull hull (the reference's
+    formulation, `toolbox/math/qhull.py:52-363`): max plane distance inside
+    (negative), euclidean distance to the boundary outside (positive)."""
+    from scipy.spatial import ConvexHull as SciHull
+
+    hull = SciHull(points)
+    eq = hull.equations  # A x + b <= 0 inside
+    d_plane = (queries @ eq[:, :2].T + eq[:, 2]).max(axis=-1)
+    verts = points[hull.vertices]  # CCW
+    out = []
+    for q in queries:
+        best = np.inf
+        for i in range(len(verts)):
+            a, b = verts[i], verts[(i + 1) % len(verts)]
+            e = b - a
+            t = np.clip(np.dot(q - a, e) / np.dot(e, e), 0.0, 1.0)
+            best = min(best, np.linalg.norm(q - (a + t * e)))
+        out.append(best)
+    d_out = np.asarray(out)
+    return np.where(d_plane > 0, d_out, d_plane)
+
+
+def test_convex_hull_interior_points_match_scipy():
+    """TRUE-hull property test: random candidate sets INCLUDING interior and
+    collinear points must match scipy.spatial.ConvexHull signed distances
+    (the old convex-position assumption would fail here)."""
+    rng = np.random.default_rng(7)
+    for trial in range(12):
+        n = int(rng.integers(4, 12))
+        pts = rng.normal(size=(n, 2))
+        if trial % 3 == 0:
+            pts[0] = pts[1:].mean(axis=0)  # guaranteed interior point
+        if trial % 4 == 0:
+            pts[-1] = 0.5 * (pts[0] + pts[1])  # collinear midpoint
+        queries = np.concatenate(
+            [rng.normal(size=(16, 2)) * 2.0, pts[:2] + 1e-3]
+        )
+        ref = _scipy_hull_signed_distance(pts, queries)
+        got = np.asarray(ConvexHull2D(jnp.asarray(pts)).signed_distance(
+            jnp.asarray(queries)
+        ))
+        np.testing.assert_allclose(got, ref, atol=1e-7, err_msg=f"trial {trial}")
+
+
+def test_convex_hull_vertex_mask_and_degenerate():
+    pts = jnp.asarray([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0],
+                       [0.5, 0.5]])  # interior point last
+    hull = ConvexHull2D(pts)
+    mask = np.asarray(hull.vertex_mask)
+    assert mask[:4].all() and not mask[4]
+    # All-coincident degenerate set: positive distance to the point
+    hull_pt = ConvexHull2D(jnp.zeros((3, 2)))
+    d = float(hull_pt.signed_distance(jnp.asarray([3.0, 4.0])))
+    assert abs(d - 5.0) < 1e-9
+    # Collinear set: distance to the segment
+    seg = jnp.asarray([[0.0, 0.0], [1.0, 0.0], [2.0, 0.0]])
+    hull_seg = ConvexHull2D(seg)
+    assert abs(float(hull_seg.signed_distance(jnp.asarray([1.0, 2.0]))) - 2.0) < 1e-9
+    assert abs(float(hull_seg.signed_distance(jnp.asarray([3.0, 0.0]))) - 1.0) < 1e-9
+
+
 def test_spline_interpolation_and_derivative():
     ts = jnp.linspace(0.0, 2 * np.pi, 30)
     ys = jnp.sin(ts)
