@@ -119,7 +119,13 @@ class Engine:
         )
         for name, g in robot.sensors.groups():
             try:
-                self._group_has_noise[name] = bool(_np.any(_np.asarray(g.noise_std) != 0.0))
+                # "Has noise" really means "needs an RNG key": measurement
+                # noise AND delay jitter both consume randomness
+                # (`abstract_sensor.hxx:315-317` samples U(0, jitter)).
+                self._group_has_noise[name] = bool(
+                    _np.any(_np.asarray(g.noise_std) != 0.0)
+                    or _np.any(_np.asarray(g.jitter) != 0.0)
+                )
             except Exception:
                 self._group_has_noise[name] = True
             try:
@@ -254,6 +260,14 @@ class Engine:
         self._registered_forces.append(("impulse", fidx, force_fn))
         self._rebuild_force_fn()
 
+    def register_state_force(self, force_fn: Callable) -> None:
+        """`force_fn(t, q, v, kin) -> (..., nj, 6)` LOCAL joint wrenches —
+        state-dependent user force (multi-robot coupling forces on a merged
+        model ride through here; reference coupling-force registry,
+        `engine.h:490-550`)."""
+        self._registered_forces.append(("state", None, force_fn))
+        self._rebuild_force_fn()
+
     def remove_forces(self) -> None:
         self._registered_forces = []
         self.external_force_fn = None
@@ -263,11 +277,14 @@ class Engine:
         entries = list(self._registered_forces)
 
         def fn(t, q, v):
-            kin = forward_kinematics(model, q)
+            kin = forward_kinematics(model, q, v)
             fext = jnp.zeros(q.shape[:-1] + (model.njoints, 6), q.dtype)
             from jiminy_tpu.ops.kinematics import frame_placement
 
-            for _, fidx, force_fn in entries:
+            for kind, fidx, force_fn in entries:
+                if kind == "state":
+                    fext = fext + force_fn(t, q, v, kin)
+                    continue
                 w = force_fn(t)
                 parent = model.frame_parents[fidx]
                 fpl = frame_placement(model, kin, fidx)

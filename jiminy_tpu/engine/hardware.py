@@ -225,6 +225,14 @@ class SensorRing:
         (`abstract_sensor.hxx`: searchsorted + linear interp, held at the ends).
         """
         k = self.times.shape[0]
+        if order == 0:
+            # ZOH lookup is razor-edge sensitive when the delay is an exact
+            # multiple of the update period: bias the query to always land on
+            # the same side of the grid sample (the reference shifts by
+            # STEPPER_MIN_TIMESTEP, `abstract_sensor.hxx:327-330`; scale with
+            # the dtype ulp so the shift survives f32).
+            eps_t = jnp.finfo(self.times.dtype).eps
+            t_query = t_query + jnp.maximum(1e-10, 4.0 * eps_t * jnp.abs(t_query))
         # Unroll the ring into increasing-time order: oldest first
         offs = (self.head + 1 + jnp.arange(k)) % k
         times = self.times[offs]

@@ -309,11 +309,11 @@ class MultiSimulator:
             raise RuntimeError("cannot add a robot while a simulation is running")
         from jiminy_tpu.engine.multi import MultiRobotEngine
 
-        robots = {n: self.engine.engines[n].robot for n in self.names}
+        robots = {n: self.engine.robots[n] for n in self.names}
         robots[name] = robot
         couplings = self.engine.couplings
         self.engine = MultiRobotEngine(robots, self.engine.options)
-        self.engine.couplings = couplings
+        self.engine.replay_couplings(couplings)
         self.names = self.engine.names
 
     def register_viscoelastic_coupling_force(self, *args, **kwargs) -> None:

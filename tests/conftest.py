@@ -25,3 +25,27 @@ jax.config.update("jax_enable_x64", True)
 _CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache_cpu")
 jax.config.update("jax_compilation_cache_dir", os.path.abspath(_CACHE))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+import pytest  # noqa: E402
+
+# Two-tier suite: the fused whole-period f64 graphs of the big walker models
+# compile for many minutes EACH on CPU XLA, so the handful of tests that build
+# them are marked `slow` and deselected by default — `pytest tests/ -q` must
+# stay green from a cold cache in < 20 min (every slow test has a small-model
+# fast variant in the default tier).  Opt in with `--slow` or JIMINY_SLOW=1.
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--slow", action="store_true", default=False,
+        help="also run tests marked slow (compile-heavy fused graphs)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--slow") or os.environ.get("JIMINY_SLOW"):
+        return
+    skip = pytest.mark.skip(reason="slow (run with --slow or JIMINY_SLOW=1)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
