@@ -10,7 +10,9 @@ from __future__ import annotations
 
 from typing import Callable, Optional
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from jiminy_tpu.engine.config import ContactOptions
 from jiminy_tpu.models.model import RobotModel
@@ -161,14 +163,152 @@ def closest_segment_points(p1, q1, p2, q2, eps: float = 1e-12):
     return p1 + s[..., None] * d1, p2 + t_cl[..., None] * d2
 
 
+def _geom_kind(g) -> str:
+    """Pair-geometry tag: legacy 4-tuples are capsules."""
+    return g[1] if isinstance(g[1], str) else "capsule"
+
+
 def _geom_world_segment(kin: KinData, g, dtype):
-    """World-frame segment of a pair geometry g = (parent_joint, r, p0, p1)."""
-    j, r, p0, p1 = g
+    """World-frame segment of a capsule pair geometry
+    (parent, ["capsule",] r, p0, p1)."""
+    if isinstance(g[1], str):
+        j, _, r, p0, p1 = g
+    else:
+        j, r, p0, p1 = g
     rot = kin.omi.rot[..., j, :, :]
     pos = kin.omi.pos[..., j, :]
     a0 = pos + lie.mv(rot, jnp.asarray(p0, dtype))
     a1 = pos + lie.mv(rot, jnp.asarray(p1, dtype)) if p1 != p0 else a0
     return j, float(r), a0, a1, rot, pos
+
+
+def _geom_world_box(kin: KinData, g, dtype):
+    """World-frame OBB of a box pair geometry (parent, "box", rot9, c, half):
+    returns (j, box_rot (...,3,3), box_pos (...,3), half (3,), rot_j, pos_j)."""
+    j, _, rot9, c, half = g
+    rot_j = kin.omi.rot[..., j, :, :]
+    pos_j = kin.omi.pos[..., j, :]
+    rot_l = jnp.asarray(np.asarray(rot9, np.float64).reshape(3, 3), dtype)
+    box_rot = lie.mm(rot_j, rot_l)
+    box_pos = pos_j + lie.mv(rot_j, jnp.asarray(c, dtype))
+    return j, box_rot, box_pos, jnp.asarray(half, dtype), rot_j, pos_j
+
+
+def signed_point_box(p, box_rot, box_pos, half):
+    """Signed distance of point p to an OBB, with the outward contact normal
+    and the closest surface point (all world frame, batch-transparent).
+
+    Outside: euclidean distance, normal along (p - closest).  Inside:
+    negative distance to the nearest face, normal = that face's outward
+    normal.  Exact — this is the sphere-vs-box narrowphase."""
+    rt = jnp.swapaxes(box_rot, -1, -2)
+    local = lie.mv(rt, p - box_pos)
+    clamped = jnp.clip(local, -half, half)
+    dvec = local - clamped
+    d_out = jnp.linalg.norm(dvec, axis=-1)
+    outside = d_out > 1e-12
+    # Inside: nearest face
+    face_gap = half - jnp.abs(local)  # (...,3) >= 0 inside
+    ax = jnp.argmin(face_gap, axis=-1)
+    d_in = -jnp.take_along_axis(face_gap, ax[..., None], axis=-1)[..., 0]
+    sign = jnp.sign(
+        jnp.take_along_axis(local, ax[..., None], axis=-1)[..., 0]
+    )
+    sign = jnp.where(sign == 0, 1.0, sign)
+    n_in_local = jax.nn.one_hot(ax, 3, dtype=local.dtype) * sign[..., None]
+    surf_in_local = jnp.where(
+        jax.nn.one_hot(ax, 3, dtype=local.dtype) > 0,
+        sign[..., None] * half,
+        clamped,
+    )
+    n_out_local = dvec / jnp.maximum(d_out, 1e-12)[..., None]
+    dist = jnp.where(outside, d_out, d_in)
+    n_local = jnp.where(outside[..., None], n_out_local, n_in_local)
+    surf_local = jnp.where(outside[..., None], clamped, surf_in_local)
+    n = lie.mv(box_rot, n_local)
+    surf = box_pos + lie.mv(box_rot, surf_local)
+    return dist, n, surf
+
+
+def closest_point_segment_box(p0, p1, box_rot, box_pos, half, iters: int = 32):
+    """argmin over t in [0,1] of dist(p0 + t (p1-p0), OBB).
+
+    The distance to a convex set along a line is convex in t, so a fixed
+    ternary search converges geometrically — static shapes, no data-dependent
+    control flow (capsule-vs-box narrowphase)."""
+    def f(t):
+        p = p0 + t[..., None] * (p1 - p0)
+        return signed_point_box(p, box_rot, box_pos, half)[0]
+
+    lo = jnp.zeros(p0.shape[:-1], p0.dtype)
+    hi = jnp.ones(p0.shape[:-1], p0.dtype)
+    for _ in range(iters):
+        m1 = lo + (hi - lo) / 3.0
+        m2 = hi - (hi - lo) / 3.0
+        take_lo = f(m1) <= f(m2)
+        lo = jnp.where(take_lo, lo, m1)
+        hi = jnp.where(take_lo, m2, hi)
+    return 0.5 * (lo + hi)
+
+
+def box_box_sat(rot_a, pos_a, half_a, rot_b, pos_b, half_b):
+    """OBB-OBB separating-axis test (the standard 15 axes: 3 + 3 face
+    normals + 9 edge cross products).
+
+    Returns (gap, n, c): the signed gap (max separation over the axes — the
+    exact penetration depth when negative, a lower bound on the distance when
+    positive), the contact normal oriented from A towards B, and a world
+    contact point (midpoint of the two deepest support points).  Exact for
+    penetrating boxes; for separated boxes only the sign matters (no force).
+    """
+    t = pos_b - pos_a
+    axes = []
+    for k in range(3):
+        axes.append(rot_a[..., :, k])
+    for k in range(3):
+        axes.append(rot_b[..., :, k])
+    for i in range(3):
+        for j in range(3):
+            axes.append(jnp.cross(rot_a[..., :, i], rot_b[..., :, j]))
+    gaps, units = [], []
+    for ax in axes:
+        ln = jnp.linalg.norm(ax, axis=-1)
+        ok = ln > 1e-9
+        u = ax / jnp.maximum(ln, 1e-9)[..., None]
+        ra = sum(
+            half_a[k] * jnp.abs(jnp.sum(u * rot_a[..., :, k], axis=-1))
+            for k in range(3)
+        )
+        rb = sum(
+            half_b[k] * jnp.abs(jnp.sum(u * rot_b[..., :, k], axis=-1))
+            for k in range(3)
+        )
+        gap = jnp.abs(jnp.sum(t * u, axis=-1)) - (ra + rb)
+        gaps.append(jnp.where(ok, gap, -jnp.inf))
+        units.append(u)
+    gaps = jnp.stack(gaps, axis=-1)  # (..., 15)
+    units = jnp.stack(units, axis=-2)  # (..., 15, 3)
+    best = jnp.argmax(gaps, axis=-1)
+    gap = jnp.take_along_axis(gaps, best[..., None], axis=-1)[..., 0]
+    n = jnp.take_along_axis(units, best[..., None, None], axis=-2)[..., 0, :]
+    # Orient from A towards B
+    flip = jnp.sum(t * n, axis=-1) < 0
+    n = jnp.where(flip[..., None], -n, n)
+    # Support points: deepest point of B against -n, deepest of A along +n
+    sup_b = pos_b - sum(
+        half_b[k]
+        * jnp.sign(jnp.sum(n * rot_b[..., :, k], axis=-1))[..., None]
+        * rot_b[..., :, k]
+        for k in range(3)
+    )
+    sup_a = pos_a + sum(
+        half_a[k]
+        * jnp.sign(jnp.sum(n * rot_a[..., :, k], axis=-1))[..., None]
+        * rot_a[..., :, k]
+        for k in range(3)
+    )
+    c = 0.5 * (sup_a + sup_b)
+    return gap, n, c
 
 
 def _point_velocity_world(kin: KinData, j, rot, pos, c):
@@ -186,18 +326,52 @@ def pair_narrowphase_force(
     """Narrowphase + spring-damper force for one geometry pair; the two
     geometries may belong to different robots (different kinematics).
 
+    Dispatches on the geometry kinds: capsule-capsule (exact segment-segment),
+    capsule-box / box-capsule (exact point-box on the convex-in-t closest
+    parameter), box-box (15-axis SAT — exact penetration depth) — the
+    TPU-static-shape equivalent of the reference's hpp-fcl narrowphase
+    (`robot/model.cc` collision registry).
+
     Returns (c, f_b, depth, (ja, rot_a, pos_a), (jb, rot_b, pos_b)): world
     contact point, force on body b (reaction -f_b on body a), signed gap."""
     dtype = kin_a.vel.dtype
-    ja, ra, a0, a1, rot_a, pos_a = _geom_world_segment(kin_a, ga, dtype)
-    jb, rb, b0, b1, rot_b, pos_b = _geom_world_segment(kin_b, gb, dtype)
-    ca, cb = closest_segment_points(a0, a1, b0, b1)
-    d = cb - ca
-    dist = jnp.linalg.norm(d, axis=-1)
-    n = d / jnp.maximum(dist, 1e-12)[..., None]  # from a towards b
-    depth = dist - (ra + rb)  # negative = penetrating
-    # Contact point: midpoint of the overlap segment
-    c = ca + (ra + 0.5 * depth)[..., None] * n
+    ka, kb = _geom_kind(ga), _geom_kind(gb)
+    if ka == "box" and kb == "box":
+        ja, arot, apos, ahalf, rot_a, pos_a = _geom_world_box(kin_a, ga, dtype)
+        jb, brot, bpos, bhalf, rot_b, pos_b = _geom_world_box(kin_b, gb, dtype)
+        depth, n, c = box_box_sat(arot, apos, ahalf, brot, bpos, bhalf)
+    elif "box" in (ka, kb):
+        # Normalize so the box is on the B side; flip the normal back after.
+        swap = ka == "box"
+        g_cap, g_box = (gb, ga) if swap else (ga, gb)
+        kin_cap, kin_box = (kin_b, kin_a) if swap else (kin_a, kin_b)
+        jc, rc, c0, c1, rot_c, pos_c = _geom_world_segment(kin_cap, g_cap, dtype)
+        jx, xrot, xpos, xhalf, rot_x, pos_x = _geom_world_box(kin_box, g_box, dtype)
+        t = closest_point_segment_box(c0, c1, xrot, xpos, xhalf)
+        p = c0 + t[..., None] * (c1 - c0)
+        dist, n_pb, surf = signed_point_box(p, xrot, xpos, xhalf)
+        depth = dist - rc
+        # n_pb points from the box surface towards the capsule axis point;
+        # the pair normal runs capsule -> box.
+        n = -n_pb
+        c = surf + 0.5 * depth[..., None] * (-n_pb)
+        if swap:
+            ja, rot_a, pos_a = jx, rot_x, pos_x
+            jb, rot_b, pos_b = jc, rot_c, pos_c
+            n = -n
+        else:
+            ja, rot_a, pos_a = jc, rot_c, pos_c
+            jb, rot_b, pos_b = jx, rot_x, pos_x
+    else:
+        ja, ra, a0, a1, rot_a, pos_a = _geom_world_segment(kin_a, ga, dtype)
+        jb, rb, b0, b1, rot_b, pos_b = _geom_world_segment(kin_b, gb, dtype)
+        ca, cb = closest_segment_points(a0, a1, b0, b1)
+        d = cb - ca
+        dist = jnp.linalg.norm(d, axis=-1)
+        n = d / jnp.maximum(dist, 1e-12)[..., None]  # from a towards b
+        depth = dist - (ra + rb)  # negative = penetrating
+        # Contact point: midpoint of the overlap segment
+        c = ca + (ra + 0.5 * depth)[..., None] * n
     v_rel = _point_velocity_world(kin_b, jb, rot_b, pos_b, c) - _point_velocity_world(
         kin_a, ja, rot_a, pos_a, c
     )

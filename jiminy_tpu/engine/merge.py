@@ -198,7 +198,7 @@ def merge_robots(robots: Dict[str, Robot]) -> Tuple[Robot, Dict[str, RobotSlice]
     sensor_off: Dict[str, int] = {}
     groups_by_kind: Dict[str, list] = {}
     contact_frames, contact_radii = [], []
-    loop_pairs, rolling, backlash, pair_geoms = [], [], [], []
+    loop_pairs, rolling, backlash, pair_geoms, visuals = [], [], [], [], []
     flex_idx, flex_arrays = [], {"stiffness": [], "damping": [], "inertia": []}
     for rname, r in robots.items():
         offs = {
@@ -254,6 +254,8 @@ def merge_robots(robots: Dict[str, Robot]) -> Tuple[Robot, Dict[str, RobotSlice]
                     (gb[0] + joint_off,) + tuple(gb[1:]),
                 )
             )
+        for vg in r.visual_geoms:
+            visuals.append((f"{rname}/{vg[0]}",) + tuple(vg[1:]))
         if r.flexibility is not None and r.flexibility.joint_indices:
             flex_idx += [j + joint_off for j in r.flexibility.joint_indices]
             for k in flex_arrays:
@@ -290,5 +292,6 @@ def merge_robots(robots: Dict[str, Robot]) -> Tuple[Robot, Dict[str, RobotSlice]
         backlash_joint_indices=tuple(backlash),
         rolling_specs=tuple(rolling),
         collision_pairs_geom=tuple(pair_geoms),
+        visual_geoms=tuple(visuals),
     )
     return merged, layout

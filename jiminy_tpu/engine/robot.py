@@ -70,6 +70,11 @@ class Robot:
     # the parent joint frame (sphere: zero-length segment; capsule: its axis).
     # See `contact.compute_pair_forces`. Beyond-reference capability.
     collision_pairs_geom: tuple = struct.field(pytree_node=False, default=())
+    # Display-only geometry from the URDF's <visual> elements (reference
+    # viewer geometry model, `jiminy_py/viewer/viewer.py`): hashable tuples
+    # (link_frame_name, tag, params, origin_rot_flat9, origin_pos3,
+    # mesh_path_or_None, scale3_or_None) consumed by `viewer.gltf`.
+    visual_geoms: tuple = struct.field(pytree_node=False, default=())
 
     @property
     def nq(self):
@@ -154,6 +159,7 @@ class Robot:
         rolling_constraints: Sequence[dict] = (),
         collision_pairs: Sequence[tuple] = (),
         lock_joints: Sequence[str] = (),
+        visual_geoms: Sequence[tuple] = (),
         dtype=None,
     ) -> "Robot":
         """Assemble a robot.
@@ -251,12 +257,15 @@ class Robot:
                     )
                 return gs
 
+            def _nondegenerate(g) -> bool:
+                return g[1] == "box" or float(g[2]) > 0.0
+
             for nm_a, nm_b in collision_pairs:
                 degenerate = True
                 for ga in geoms_of(nm_a):
                     for gb in geoms_of(nm_b):
                         pair_geoms.append((ga, gb))
-                        if ga[1] > 0.0 or gb[1] > 0.0:
+                        if _nondegenerate(ga) or _nondegenerate(gb):
                             degenerate = False
                 if degenerate:
                     import warnings
@@ -290,6 +299,7 @@ class Robot:
                 for r in rolling_constraints
             ),
             collision_pairs_geom=tuple(pair_geoms),
+            visual_geoms=tuple(visual_geoms),
         )
 
 
@@ -336,19 +346,34 @@ def _compose_origin(model: RobotModel, spec) -> tuple:
 
 def _pair_geometries(model: RobotModel, specs, contact_idx) -> dict:
     """Resolve each link/frame name to narrowphase geometries for body-vs-body
-    pairs: (parent_joint, radius, p0, p1) — a segment + radius in the parent
-    joint frame. Sphere and capsule are exact (zero-length segment / the
-    capsule axis); box/cylinder/mesh degrade to one sphere per expanded
-    candidate point, with an effective radius of half the local point spacing
-    (pulled inward toward the centroid so the sphere surface stays tangent to
-    the original vertex) — without it two non-sphere/capsule geometries could
-    never interpenetrate (depth = dist - 0 - 0 >= 0) and the pair would be a
-    silent no-op; a bare contact frame remains a radius-0 point."""
+    pairs, tagged tuples in the parent joint frame:
+
+    - capsule: ``(parent, "capsule", radius, p0, p1)`` — sphere-swept segment
+      (sphere: zero length; cylinder: its axis with the same radius, a tight
+      round-capped overapproximation).
+    - box:     ``(parent, "box", rot9, center3, half3)`` — oriented box; URDF
+      boxes are exact, meshes use their oriented bounding box.
+
+    Dispatch in `contact.pair_narrowphase_force`: capsule-capsule (exact),
+    capsule-box (exact point-box at the convex-minimizing segment parameter),
+    box-box (15-axis SAT).  A bare contact frame remains a radius-0 point."""
     out: dict = {}
 
     def add(nm, parent, r, p0, p1):
         out.setdefault(nm, []).append(
-            (int(parent), float(r), tuple(map(float, p0)), tuple(map(float, p1)))
+            (int(parent), "capsule", float(r),
+             tuple(map(float, p0)), tuple(map(float, p1)))
+        )
+
+    def add_box(nm, parent, rot, center, half):
+        out.setdefault(nm, []).append(
+            (
+                int(parent),
+                "box",
+                tuple(float(x) for x in np.asarray(rot, float).ravel()),
+                tuple(map(float, center)),
+                tuple(map(float, half)),
+            )
         )
 
     for spec in specs:
@@ -360,32 +385,37 @@ def _pair_geometries(model: RobotModel, specs, contact_idx) -> dict:
         geom = spec["geometry"]
         if geom == "sphere":
             add(nm, parent, spec["radius"], pos0, pos0)
-        elif geom == "capsule":
+        elif geom in ("capsule", "cylinder"):
             axis = np.asarray(spec.get("axis", (0.0, 0.0, 1.0)), float)
             axis = axis / max(np.linalg.norm(axis), 1e-12)
             half = 0.5 * float(spec["length"])
             add(nm, parent, spec["radius"], pos0 - rot0 @ (axis * half),
                 pos0 + rot0 @ (axis * half))
-        else:
-            pts = _geometry_points(spec)
-            offs = np.array([o for o, _ in pts], dtype=np.float64)
-            r_eff = 0.0
-            if len(offs) > 1:
-                d2 = np.sum(
-                    (offs[:, None, :] - offs[None, :, :]) ** 2, axis=-1
+        elif geom == "box":
+            half = [0.5 * float(s) for s in spec["size"]]
+            add_box(nm, parent, rot0, pos0, half)
+        else:  # mesh / points -> oriented bounding box
+            pts = np.asarray([o for o, _ in _geometry_points(spec)], float)
+            if len(pts) >= 4 and np.linalg.matrix_rank(pts - pts.mean(0)) == 3:
+                from jiminy_tpu.models.urdf import oriented_bounding_box
+
+                corners = oriented_bounding_box(pts)
+                center = corners.mean(axis=0)
+                ax_x = 0.5 * (corners[4] - corners[0])
+                ax_y = 0.5 * (corners[2] - corners[0])
+                ax_z = 0.5 * (corners[1] - corners[0])
+                half = [np.linalg.norm(ax_x), np.linalg.norm(ax_y),
+                        np.linalg.norm(ax_z)]
+                rot = np.stack(
+                    [ax_x / max(half[0], 1e-12), ax_y / max(half[1], 1e-12),
+                     ax_z / max(half[2], 1e-12)], axis=1
                 )
-                d2[np.arange(len(offs)), np.arange(len(offs))] = np.inf
-                r_eff = 0.5 * float(np.sqrt(d2.min()))
-            centroid = offs.mean(axis=0)
-            for off, _r in pts:
-                d = off - centroid
-                dist = float(np.linalg.norm(d))
-                # Pull inward by the radius so the sphere stays tangent to the
-                # vertex; cap by the centroid distance to keep it inside.
-                r = min(r_eff, dist) if r_eff > 0.0 else 0.0
-                p_local = off - (d / dist) * r if dist > 1e-12 else off
-                p = pos0 + rot0 @ p_local
-                add(nm, parent, r, p, p)
+                add_box(nm, parent, rot0 @ rot,
+                        pos0 + rot0 @ center, half)
+            else:
+                # Degenerate cloud: fall back to point spheres
+                for off in pts:
+                    add(nm, parent, 0.0, pos0 + rot0 @ off, pos0 + rot0 @ off)
     # Plain contact frames referenced by exact name
     for fi in contact_idx:
         nm = model.frame_names[fi]

@@ -56,13 +56,15 @@ class ANYmalEnv(WalkerEnv):
         return q
 
 
-def ANYmalPDControlEnv(step_dt: float = 0.04, horizon: int = 500, kp=1500.0, kd=0.04,
+def ANYmalPDControlEnv(step_dt: float = 0.04, horizon: int = 500, kp=1500.0, kd=0.01,
                        **kw):
     """`-pid` pipeline variant: PD controller block on motor targets (reference
-    `ANYmalPDControlJiminyEnv`).  Default kp is the reference's tuned value
-    (`anymal.py:27-31`, kp=1500 at reduction 1); kd is raised 0.01 -> 0.04 for
-    quieter standing on this env's spring-damper + RK4 pipeline (measured: 4 s
-    zero-action stance, z=0.494, |v|max 0.15).  The procedural look-alike
+    `ANYmalPDControlJiminyEnv`).  Gains are the reference's tuned values
+    (`anymal.py:27-31`, kp=1500 / kd=0.01 at reduction 1).  kd MUST stay small
+    with the 5 ms ZOH control period: the half-period phase lag turns large
+    derivative gains into negative damping on the ~25 Hz leg-contact mode
+    (measured: kd=0.04 sustains a vibration limit cycle; kd=0.01 settles to
+    |v| < 1e-4 at exact force balance).  The procedural look-alike
     (`procedural=True`) uses different reductions — pass explicit gains."""
     env = ANYmalEnv(step_dt=step_dt, horizon=horizon, **kw)
     pd = PDController(kp=kp, kd=kd).setup(env)

@@ -374,6 +374,16 @@ def load_robot(
         if kept:
             sensors[kind] = kept
 
+    # Display geometry from the URDF visuals (only for links that survived
+    # joint locking — the viewer resolves links by frame name).
+    from jiminy_tpu.models.urdf import visual_geom_tuples
+
+    visuals = tuple(
+        vg
+        for vg in visual_geom_tuples(urdf)
+        if vg[0] in model.frame_names
+    )
+
     return Robot.build(
         model,
         name=name,
@@ -382,5 +392,6 @@ def load_robot(
         contact_frames=hw["contact_frames"],
         collision_bodies=collision_specs,
         loop_constraints=_LOOP_PAIRS.get(name, ()),
+        visual_geoms=visuals,
         dtype=dtype,
     )

@@ -371,14 +371,16 @@ DIGIT_PD_EFFECTIVE = {
 }
 
 
-def pd_gains(robot, table, default=(500.0, 0.01), kd_min=0.05):
+def pd_gains(robot, table, default=(500.0, 0.01), kd_min=0.0):
     """Per-motor (kp, kd) arrays in OUR motor-side units from an effective
     joint-side gain table (longest-prefix name matching).
 
-    `kd_min` floors the derivative time constant: the reference's kd values
-    (0.01-0.025 s) assume its euler+constraint pipeline; the spring-damper +
-    RK4 pipeline needs more derivative action at the 5 ms ZOH control grid to
-    stay quiet."""
+    The reference's kd time constants (0.01-0.025 s) are used as-is: with the
+    5 ms ZOH control period, LARGER derivative gains destabilize (half-period
+    phase lag = negative damping on the leg-contact modes — the round-3
+    kd_min=0.05 floor was sustaining a vibration limit cycle); contact-side
+    stability comes from the mass-aware contact parameterization in
+    `WalkerEnv` instead."""
     kp, kd = [], []
     red = np.asarray(robot.motors.mechanical_reduction)
     for i, name in enumerate(robot.motors.names):

@@ -40,12 +40,39 @@ class WalkerEnv(BaseEnv):
         options: Optional[EngineOptions] = None,
     ):
         if options is None:
+            # Explicit-stable contact parameterization.  The fixed-step RK4
+            # core integrates the contact spring-damper explicitly, so the
+            # stiff contact mode must satisfy omega*dt <~ 0.35 and
+            # (c/m_eff)*dt <~ 1 for the LIGHTEST contact-carrying body — the
+            # real robots' feet weigh a few hundred grams, where the old
+            # k=1e5/c=2e3 pair was unstable and sustained a spurious
+            # vibration limit cycle (the reference avoids this with its
+            # adaptive DOPRI stepper shrinking dt instead).  The friction
+            # regularization slope mu*N/v_t is bounded the same way.
+            masses = np.asarray(robot.model.mass, float)
+            m_foot = min(
+                (
+                    float(masses[robot.model.frame_parents[f]])
+                    for f in robot.contact_frame_indices
+                ),
+                default=1.0,
+            )
+            m_foot = max(m_foot, 0.05)
+            omega = 0.35 / simulation_dt
+            stiffness = min(m_foot * omega**2, 1.0e5)
+            damping = 2.0 * 0.25 * m_foot * omega
+            weight = float(masses.sum()) * 9.81
+            n_c = max(len(robot.contact_frame_indices), 1)
+            transition_velocity = max(
+                0.01, 1.0 * (weight / n_c) * simulation_dt / (2.0 * m_foot)
+            )
             options = EngineOptions(
                 contacts=ContactOptions(
                     model=contact_model,
-                    stiffness=1.0e5,
-                    damping=2.0e3,
+                    stiffness=stiffness,
+                    damping=damping,
                     friction=1.0,
+                    transition_velocity=transition_velocity,
                 ),
                 stepper=StepperOptions(
                     integrator=IntegratorType.RUNGE_KUTTA_4, dt_max=simulation_dt

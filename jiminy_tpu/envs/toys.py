@@ -146,9 +146,13 @@ class CartPoleEnv(BaseEnv):
 
 class AcrobotEnv(BaseEnv):
     """Acrobot swing-up (reference `AcrobotJiminyEnv`): torque at the elbow,
-    -1 reward per step until the tip rises above one link length."""
+    -1 reward per step until the tip rises above half the reachable height.
 
-    def __init__(self, step_dt: float = 0.02, horizon: int = 500,
+    `step_dt` defaults to the classic 0.2 s (reference `acrobot.py:17`
+    STEP_DT) — the 1 Nm elbow motor needs ~30 J of resonant pumping, so the
+    500-step horizon must span ~100 s for the task to be solvable at all."""
+
+    def __init__(self, step_dt: float = 0.2, horizon: int = 500,
                  continuous: bool = True, procedural: bool = False):
         robot = _toy_robot(
             "acrobot", procedural, builders.build_acrobot, ["SecondArmJoint"]

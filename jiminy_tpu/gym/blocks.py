@@ -11,7 +11,7 @@ free under `vmap`.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import jax.numpy as jnp
 import numpy as np
@@ -423,6 +423,23 @@ class BodyObserver:
 # =============================================================================
 
 
+class _SimView(NamedTuple):
+    """Observation-level stand-in for `SimState` handed to quantities that
+    only read kinematic state (q, v, t, measurements)."""
+
+    t: object
+    q: object
+    v: object
+    measurements: dict
+
+
+class _StateView(NamedTuple):
+    """Observation-level stand-in for `EnvState`."""
+
+    sim: _SimView
+    blocks: dict
+
+
 class QuantityObserver:
     """Expose a quantity as an observation feature (reference
     `QuantityObserver`, `blocks/quantity_observer.py:47`)."""
@@ -442,17 +459,15 @@ class QuantityObserver:
     def refresh(self, obs, block_state):
         # The quantity API takes the full env state; observers only see obs, so
         # the env reference captured at setup provides model access.  Obs-level
-        # quantities receive a lightweight shim.
-        class _Shim:
-            pass
-
-        shim = _Shim()
-        shim.sim = type("S", (), {})()
-        shim.sim.q = obs["agent_state"]["q"]
-        shim.sim.v = obs["agent_state"]["v"]
-        shim.sim.measurements = obs.get("measurements", {})
-        shim.blocks = {}
-        value = self.quantity(self._env, shim)
+        # quantities receive a typed observation view (module-level
+        # NamedTuples, not per-call synthesized classes — plain pytrees).
+        sim = _SimView(
+            t=obs.get("t"),
+            q=obs["agent_state"]["q"],
+            v=obs["agent_state"]["v"],
+            measurements=obs.get("measurements", {}),
+        )
+        value = self.quantity(self._env, _StateView(sim=sim, blocks={}))
         return value, block_state
 
 

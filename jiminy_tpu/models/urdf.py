@@ -405,6 +405,89 @@ def parse_visual_geometries(path_or_str: str) -> dict[str, list[dict]]:
     return out
 
 
+def visual_geom_tuples(path: str, mesh_dirs=()) -> tuple:
+    """Hashable display-geometry entries for `Robot.visual_geoms`.
+
+    Parses the URDF's ``<visual>`` elements into static tuples
+    ``(link_name, tag, params, rot9, pos3, mesh_path_or_None, scale_or_None)``
+    consumed by `viewer.gltf.export_gltf` (reference viewer geometry loading,
+    `jiminy_py/viewer/viewer.py`).  Mesh files that cannot be resolved on disk
+    are kept with ``mesh_path=None`` (skipped at render time)."""
+    urdf_dir = os.path.dirname(os.path.abspath(path))
+    out = []
+    for link, specs in parse_visual_geometries(path).items():
+        for s in specs:
+            rot, pos = s["origin"]
+            rot9 = tuple(float(x) for x in np.asarray(rot, float).ravel())
+            pos3 = tuple(float(x) for x in np.asarray(pos, float))
+            tag = s["tag"]
+            params: tuple = ()
+            mesh_path = None
+            scale = None
+            if tag == "box":
+                params = tuple(float(v) for v in s["size"].split())
+            elif tag == "cylinder":
+                params = (float(s["radius"]), float(s["length"]))
+            elif tag == "sphere":
+                params = (float(s["radius"]),)
+            elif tag == "mesh":
+                if s.get("scale"):
+                    scale = tuple(float(x) for x in s["scale"].split())
+                try:
+                    mesh_path = _resolve_mesh_path(
+                        s["filename"], urdf_dir, mesh_dirs
+                    )
+                except FileNotFoundError:
+                    mesh_path = None
+            else:
+                continue
+            out.append((link, tag, params, rot9, pos3, mesh_path, scale))
+    # Display fallback: links whose visuals are ALL unresolvable meshes (the
+    # big vendor mesh packs are not shipped) fall back to their <collision>
+    # primitives — boxes/cylinders/spheres give a faithful silhouette of the
+    # real robot where mesh files are absent.
+    by_link: dict = {}
+    for e in out:
+        by_link.setdefault(e[0], []).append(e)
+    root = ET.parse(path).getroot() if os.path.exists(path) else ET.fromstring(path)
+    result = []
+    for link_el in root.findall("link"):
+        lname = link_el.get("name")
+        entries = by_link.get(lname, [])
+        renderable = [
+            e for e in entries if not (e[1] == "mesh" and e[5] is None)
+        ]
+        if renderable:
+            result += renderable
+            continue
+        for col in link_el.findall("collision"):
+            geom = col.find("geometry")
+            if geom is None or len(geom) == 0:
+                continue
+            g = geom[0]
+            if g.tag == "box":
+                params = tuple(float(v) for v in g.get("size").split())
+            elif g.tag == "cylinder":
+                params = (float(g.get("radius")), float(g.get("length")))
+            elif g.tag == "sphere":
+                params = (float(g.get("radius")),)
+            else:
+                continue
+            rot, pos = _parse_origin(col.find("origin"))
+            result.append(
+                (
+                    lname,
+                    g.tag,
+                    params,
+                    tuple(float(x) for x in np.asarray(rot, float).ravel()),
+                    tuple(float(x) for x in np.asarray(pos, float)),
+                    None,
+                    None,
+                )
+            )
+    return tuple(result)
+
+
 def _resolve_mesh_path(filename: str, urdf_dir: str, mesh_dirs=()) -> str:
     """Resolve a URDF mesh reference (``package://...`` or relative path)."""
     cands = []

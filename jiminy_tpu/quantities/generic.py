@@ -289,6 +289,39 @@ class MaskedQuantity(Quantity):
         return jnp.take(self.inner(env, state), jnp.asarray(self.indices), axis=self.axis)
 
 
+class MultiFrameOrientation(Quantity):
+    """Stacked world rotations (..., n, 3, 3) of several frames in one FK
+    pass (reference `MultiFrameOrientation`, `quantities/generic.py:700`)."""
+
+    def __init__(self, frame_names: Sequence[str]):
+        self.frame_names = tuple(frame_names)
+
+    def __call__(self, env, state):
+        model, kin = _kin(env, state)
+        return jnp.stack(
+            [
+                frame_placement(model, kin, model.frame_index(n)).rot
+                for n in self.frame_names
+            ],
+            axis=-3,
+        )
+
+
+# Reference name (`quantities/generic.py:1128`): the functional env evaluates
+# once per env step, so the end-of-step pose IS the step-average pose.
+AverageFrameXYZQuat = FrameXYZQuat
+
+
+class OrientationType:
+    """Representation selector for orientation quantities (reference
+    `quantities/generic.py OrientationType` enum)."""
+
+    MATRIX = "matrix"
+    QUATERNION = "quaternion"
+    RPY = "rpy"
+    ANGLE_AXIS = "angle_axis"
+
+
 class UnaryOpQuantity(Quantity):
     def __init__(self, inner: Quantity, op: Callable):
         self.inner = inner
@@ -296,6 +329,18 @@ class UnaryOpQuantity(Quantity):
 
     def __call__(self, env, state):
         return self.op(self.inner(env, state))
+
+
+class MultiAryOpQuantity(Quantity):
+    """`op(*values)` over any number of inner quantities (reference
+    `MultiAryOpQuantity`, `quantities/transform.py`)."""
+
+    def __init__(self, inners: Sequence[Quantity], op: Callable):
+        self.inners = tuple(inners)
+        self.op = op
+
+    def __call__(self, env, state):
+        return self.op(*[q(env, state) for q in self.inners])
 
 
 class BinaryOpQuantity(Quantity):

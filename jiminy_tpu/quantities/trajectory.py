@@ -92,3 +92,64 @@ def make_tracking_target(quantity: Quantity, dataset: TrajectoryDataset):
     semantics, `compositions/generic.py:64`)."""
     ref = ReferenceQuantity(quantity, dataset)
     return lambda env, state: ref(env, state)
+
+
+class ReferencePositionVector(Quantity):
+    """Reference configuration with the odometry pose (x, y, yaw) overwritten
+    by the TRUE one (reference `ReferencePositionVector`,
+    `quantities/locomotion.py:561`): decouples tracking the odometry from
+    tracking body-part poses / joint configurations.
+
+    `odometry_mode`: "base" (floating-base pose), "foot" (mean foot pose,
+    the reference's recommendation) or None (keep the reference odometry)."""
+
+    def __init__(self, dataset: TrajectoryDataset, odometry_mode="foot"):
+        self.dataset = dataset
+        self.odometry_mode = odometry_mode
+
+    def _odometry(self, env, state):
+        from jiminy_tpu.quantities.locomotion import (
+            BaseOdometryPose,
+            MultiFootMeanOdometryPose,
+        )
+
+        q = (
+            MultiFootMeanOdometryPose()
+            if self.odometry_mode == "foot"
+            else BaseOdometryPose()
+        )
+        return q(env, state)
+
+    def __call__(self, env, state):
+        q_ref, v_ref = self.dataset.state_at(state.sim.t)
+        if self.odometry_mode is None:
+            return q_ref
+        sim_ref = state.sim.replace(
+            q=q_ref,
+            v=v_ref if v_ref is not None else jnp.zeros_like(state.sim.v),
+        )
+        o_true = self._odometry(env, state)
+        o_ref = self._odometry(env, state.replace(sim=sim_ref))
+        dyaw = o_true[..., 2] - o_ref[..., 2]
+        c, s = jnp.cos(dyaw), jnp.sin(dyaw)
+        # Base position relative to the reference odometry origin, rotated by
+        # the yaw mismatch, re-anchored at the true odometry origin.
+        rel = q_ref[..., 0:2] - o_ref[..., 0:2]
+        xy = jnp.stack(
+            [
+                o_true[..., 0] + c * rel[..., 0] - s * rel[..., 1],
+                o_true[..., 1] + s * rel[..., 0] + c * rel[..., 1],
+            ],
+            axis=-1,
+        )
+        # Rotate the base quaternion by Rz(dyaw): q' = qz(dyaw) * q_ref
+        half = 0.5 * dyaw
+        qz = jnp.stack(
+            [jnp.zeros_like(half), jnp.zeros_like(half), jnp.sin(half),
+             jnp.cos(half)],
+            axis=-1,
+        )
+        from jiminy_tpu.ops import lie
+
+        quat = lie.quat_mul(qz, q_ref[..., 3:7])
+        return jnp.concatenate([xy, q_ref[..., 2:3], quat, q_ref[..., 7:]], axis=-1)

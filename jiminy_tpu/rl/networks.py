@@ -32,12 +32,15 @@ class ActorCritic(nn.Module):
     action_dim: int
     hidden: Sequence[int] = (256, 256)
     activation: str = "tanh"
+    # Initial exploration scale (the reference CI configs use 1.0 for the toy
+    # swing-up solves, `test_training_toys_models.py:72`)
+    log_std_init: float = -0.5
 
     @nn.compact
     def __call__(self, obs):
         mean = MLP((*self.hidden, self.action_dim), self.activation, name="actor")(obs)
         log_std = self.param(
-            "log_std", nn.initializers.constant(-0.5), (self.action_dim,)
+            "log_std", nn.initializers.constant(self.log_std_init), (self.action_dim,)
         )
         value = MLP((*self.hidden, 1), self.activation, name="critic")(obs)
         return mean, jnp.broadcast_to(log_std, mean.shape), value[..., 0]

@@ -42,11 +42,15 @@ class PPOConfig:
     clip_eps: float = 0.2
     vf_coef: float = 0.5
     ent_coef: float = 0.01
+    # Early-stop updates once approx KL exceeds 1.5x this (None/0 = off);
+    # the reference CI configs set 0.1 (`test_training_toys_models.py:56`).
+    target_kl: Optional[float] = None
     lr: float = 3.0e-4
     max_grad_norm: float = 0.5
     anneal_lr: bool = False
     total_iterations: int = 100
     hidden: tuple = (256, 256)
+    log_std_init: float = -0.5
     # Regularizers (reference rllib/ppo.py)
     caps_temporal_reg: float = 0.0
     caps_spatial_reg: float = 0.0
@@ -107,7 +111,10 @@ def make_train(
     `init_fn(key) -> PPOState`; `train_step(state) -> (state, metrics)`.
     """
     env = AutoResetWrapper(env)
-    network = ActorCritic(env.action_size, hidden=config.hidden)
+    network = ActorCritic(
+        env.action_size, hidden=config.hidden,
+        log_std_init=config.log_std_init,
+    )
     batched = config.vectorization == "batched"
 
     def flat_obs(obs):
@@ -288,6 +295,9 @@ def make_train(
             "vf_loss": vf_loss,
             "entropy": ent,
             "approx_kl": jnp.mean(batch["logp"] - logp),
+            # Nonnegative estimator E[(r - 1) - log r] (the reference's SB3
+            # configs gate on it via target_kl, test_training_toys_models.py:56)
+            "approx_kl_pos": jnp.mean((ratio - 1.0) - jnp.log(ratio)),
         }
         return total, metrics
 
@@ -313,13 +323,13 @@ def make_train(
         mb_size = n_total // config.n_minibatches
 
         def epoch_body(carry, _):
-            params, opt_state, key = carry
+            params, opt_state, key, stop = carry
             key, k_perm, k_noise = jax.random.split(key, 3)
             perm = jax.random.permutation(k_perm, n_total)
             shuffled = jax.tree.map(lambda x: x[perm], flat)
 
             def mb_body(carry, mb_idx):
-                params, opt_state = carry
+                params, opt_state, stop = carry
                 mb = jax.tree.map(
                     lambda x: jax.lax.dynamic_slice_in_dim(
                         x, mb_idx * mb_size, mb_size, 0
@@ -329,17 +339,33 @@ def make_train(
                 (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                     params, mb, jax.random.fold_in(k_noise, mb_idx)
                 )
-                updates, opt_state = tx.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
-                return (params, opt_state), metrics
+                # target_kl early stop (reference SB3 config `target_kl`,
+                # sb3 ppo.py: break BEFORE applying once KL > 1.5 target):
+                # masked in jit — once `stop` trips, later minibatches/epochs
+                # leave params untouched.
+                if config.target_kl is not None and config.target_kl > 0:
+                    stop = stop | (
+                        metrics["approx_kl_pos"] > 1.5 * config.target_kl
+                    )
+                updates, opt_state_new = tx.update(grads, opt_state, params)
+                params_new = optax.apply_updates(params, updates)
+                keep = lambda new, old: jax.tree.map(
+                    lambda a, b: jnp.where(stop, b, a), new, old
+                )
+                params = keep(params_new, params)
+                opt_state = keep(opt_state_new, opt_state)
+                return (params, opt_state, stop), metrics
 
-            (params, opt_state), metrics = jax.lax.scan(
-                mb_body, (params, opt_state), jnp.arange(config.n_minibatches)
+            (params, opt_state, stop), metrics = jax.lax.scan(
+                mb_body, (params, opt_state, stop),
+                jnp.arange(config.n_minibatches),
             )
-            return (params, opt_state, key), metrics
+            return (params, opt_state, key, stop), metrics
 
-        (params, opt_state, key), metrics = jax.lax.scan(
-            epoch_body, (state.params, state.opt_state, key), None,
+        (params, opt_state, key, _), metrics = jax.lax.scan(
+            epoch_body,
+            (state.params, state.opt_state, key, jnp.asarray(False)),
+            None,
             length=config.n_epochs,
         )
         mean_reward = jnp.mean(traj["reward"])

@@ -36,6 +36,9 @@ class Trajectory:
     qs: np.ndarray  # (T, nq)
     vs: Optional[np.ndarray] = None  # (T, nv)
     robot: Any = None
+    # Optional per-step world contact forces (T, nc, 3) or wrenches (T, nc, 6)
+    # — rendered as animated force arrows by `viewer.gltf.export_gltf`.
+    contact_forces: Optional[np.ndarray] = None
 
     def __len__(self) -> int:
         return len(self.times)

@@ -107,6 +107,76 @@ def _box(sx: float, sy: float, sz: float):
     )
 
 
+def _load_mesh_triangles(path: str, scale=None):
+    """(verts, norms, faces) of an OBJ/STL mesh, flat-shaded (host-side).
+
+    Standalone loader (no trimesh in the image): OBJ ``v``/``f`` records
+    (polygon fans triangulated), binary/ASCII STL triangle soup.  Vertices
+    are duplicated per face with the face normal — robust for viewer use."""
+    import os as _os
+
+    ext = _os.path.splitext(path)[1].lower()
+    tris = None
+    if ext == ".obj":
+        vs, faces = [], []
+        with open(path, "r", errors="ignore") as f:
+            for line in f:
+                if line.startswith("v "):
+                    p = line.split()
+                    vs.append([float(p[1]), float(p[2]), float(p[3])])
+                elif line.startswith("f "):
+                    idx = [int(tok.split("/")[0]) for tok in line.split()[1:]]
+                    idx = [i - 1 if i > 0 else len(vs) + i for i in idx]
+                    for k in range(1, len(idx) - 1):
+                        faces.append([idx[0], idx[k], idx[k + 1]])
+        vs = np.asarray(vs, np.float64)
+        tris = vs[np.asarray(faces, np.int64)]
+    elif ext == ".stl":
+        with open(path, "rb") as f:
+            data = f.read()
+        if data[:5] == b"solid" and b"facet" in data[:500]:
+            verts = []
+            for line in data.decode(errors="ignore").splitlines():
+                p = line.split()
+                if p[:1] == ["vertex"]:
+                    verts.append([float(p[1]), float(p[2]), float(p[3])])
+            tris = np.asarray(verts, np.float64).reshape(-1, 3, 3)
+        else:
+            (ntri,) = np.frombuffer(data[80:84], dtype="<u4")
+            rec = np.frombuffer(
+                data[84 : 84 + 50 * int(ntri)], dtype=np.uint8
+            ).reshape(int(ntri), 50)
+            floats = rec[:, :48].copy().view("<f4").reshape(int(ntri), 4, 3)
+            tris = floats[:, 1:, :].astype(np.float64)
+    else:
+        raise ValueError(f"unsupported mesh format '{ext}' ({path})")
+    if scale is not None:
+        tris = tris * np.asarray(scale, np.float64)
+    # Flat shading: per-face normal on duplicated vertices
+    n = np.cross(tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0])
+    ln = np.linalg.norm(n, axis=-1, keepdims=True)
+    n = n / np.maximum(ln, 1e-12)
+    verts = tris.reshape(-1, 3)
+    norms = np.repeat(n, 3, axis=0)
+    faces = np.arange(len(verts), dtype=np.uint32).reshape(-1, 3)
+    return verts, norms, faces
+
+
+def _arrow_z(radius: float):
+    """Unit arrow along +z anchored at the origin (shaft + widened tip):
+    scaled per-frame via a glTF scale channel to visualize force vectors."""
+    sv, sn, sf = _cylinder(radius, 1.0)
+    sv = sv.copy()
+    sv[:, 2] += 0.5  # span 0..1 instead of centered
+    tv, tn, tf = _cylinder(radius * 2.2, 0.14)
+    tv = tv.copy()
+    tv[:, 2] += 0.93
+    verts = np.concatenate([sv, tv])
+    norms = np.concatenate([sn, tn])
+    faces = np.concatenate([sf, tf + len(sv)])
+    return verts, norms, faces
+
+
 def _ground_grid(ground_fn, extent: float, n: int = 33, center=(0.0, 0.0)):
     import jax.numpy as jnp
 
@@ -200,6 +270,8 @@ class GltfBuilder:
         return self._materials[key]
 
     def mesh(self, verts, norms, faces, rgba=(0.5, 0.5, 0.8, 1.0)) -> int:
+        verts = np.asarray(verts, np.float32)
+        norms = np.asarray(norms, np.float32)
         prim = {
             "attributes": {
                 "POSITION": self._accessor(verts, target=34962),
@@ -375,12 +447,29 @@ def export_gltf(
     ground_extent: Optional[float] = None,
     bone_radius: Optional[float] = None,
     color=(0.35, 0.45, 0.85, 1.0),
+    contact_forces=None,
+    force_scale: Optional[float] = None,
+    markers: Sequence[dict] = (),
+    show_skeleton: Optional[bool] = None,
 ) -> str:
     """Export a trajectory replay as a self-contained .glb animation.
 
     `trajectory`: `jiminy_tpu.telemetry.Trajectory` (robot attached or passed
     explicitly). The animation carries per-joint world translation/rotation
-    keyframes at `fps`; bones and contact spheres are static child geometry.
+    keyframes at `fps`.
+
+    Scene fidelity (reference `viewer/replay.py` feature set):
+    - When the robot carries URDF `<visual>` geometry (`robot.visual_geoms`,
+      set by the asset loader), the real link shapes — boxes, cylinders,
+      spheres, OBJ/STL meshes — are rendered under their animated joints;
+      the skeleton bones are then hidden unless `show_skeleton=True`.
+    - `contact_forces`: (T, nc, 3) world contact forces sampled at
+      `trajectory.times` (defaults to `trajectory.contact_forces`) rendered
+      as per-contact arrows whose length follows the force magnitude through
+      an animated glTF scale channel; `force_scale` in meters/newton
+      (default: auto from the peak force).
+    - `markers`: [{"frame_name", "radius", "rgba"}] spheres attached to
+      their frame (reference viewer markers).
     """
     import jax.numpy as jnp
 
@@ -416,6 +505,10 @@ def export_gltf(
     gv, gn, gf = _ground_grid(ground_fn, extent, center=center)
     b.node("ground", mesh=b.mesh(gv, gn, gf, rgba=(0.55, 0.55, 0.5, 1.0)))
 
+    visuals = getattr(robot, "visual_geoms", ()) or ()
+    if show_skeleton is None:
+        show_skeleton = not visuals
+
     sphere = _uv_sphere(r_bone * 1.4)
     joint_nodes = []
     t32 = times.astype(np.float32)
@@ -423,7 +516,11 @@ def export_gltf(
     for j in range(model.njoints):
         nd = b.node(
             f"joint/{model.joint_names[j]}",
-            mesh=b.mesh(*sphere, rgba=(0.9, 0.55, 0.2, 1.0)),
+            mesh=(
+                b.mesh(*sphere, rgba=(0.9, 0.55, 0.2, 1.0))
+                if show_skeleton
+                else None
+            ),
             translation=pos[0, j],
             rotation=quat[0, j],
         )
@@ -432,7 +529,7 @@ def export_gltf(
         channels.append((nd, "rotation", t32, quat[:, j].astype(np.float32)))
         # Bone to parent: rigid in the PARENT joint frame
         p = model.parents[j]
-        if p >= 0:
+        if p >= 0 and show_skeleton:
             seg = np.asarray(model.jplacement_pos[j], np.float64)
             ln = float(np.linalg.norm(seg))
             if ln > 1e-6:
@@ -443,18 +540,133 @@ def export_gltf(
                     rotation=_align_z_quat(seg),
                     parent=joint_nodes[p],
                 )
+
+    # URDF <visual> geometry: the real link shapes, rigid children of their
+    # animated parent joints (placement = link frame composed with the
+    # visual origin).  Repeated primitives/meshes share one glTF mesh.
+    mesh_cache: dict = {}
+    for link, tag, params, rot9, pos3, mesh_path, scale in visuals:
+        if link not in model.frame_names:
+            continue
+        fidx = model.frame_index(link)
+        parent = model.frame_parents[fidx]
+        frot = np.asarray(model.fplacement_rot[fidx], np.float64)
+        fpos = np.asarray(model.fplacement_pos[fidx], np.float64)
+        orot = np.asarray(rot9, np.float64).reshape(3, 3)
+        opos = np.asarray(pos3, np.float64)
+        vrot = frot @ orot
+        vpos = fpos + frot @ opos
+        key = (tag, params, mesh_path, scale)
+        mid = mesh_cache.get(key)
+        if mid is None:
+            if tag == "box":
+                geom = _box(*params)
+            elif tag == "cylinder":
+                geom = _cylinder(params[0], params[1])
+            elif tag == "sphere":
+                geom = _uv_sphere(params[0])
+            elif tag == "mesh":
+                if mesh_path is None:
+                    continue  # mesh file not vendored
+                geom = _load_mesh_triangles(mesh_path, scale)
+            else:
+                continue
+            mid = b.mesh(*geom, rgba=color)
+            mesh_cache[key] = mid
+        b.node(
+            f"visual/{link}",
+            mesh=mid,
+            translation=vpos,
+            rotation=_mat_to_quat_np(vrot[None])[0],
+            parent=joint_nodes[parent],
+        )
+
     # Contact points: static children of their parent joint
     radii = getattr(robot, "contact_radii", ()) or ()
-    for k, fidx in enumerate(getattr(robot, "contact_frame_indices", ())):
+    contact_frames = tuple(getattr(robot, "contact_frame_indices", ()))
+    for k, fidx in enumerate(contact_frames):
         r = radii[k] if k < len(radii) and radii[k] > 0 else r_bone
         fp = np.asarray(model.fplacement_pos[fidx], np.float64)
         b.node(
             f"contact/{model.frame_names[fidx]}",
             mesh=b.mesh(*_uv_sphere(float(r)), rgba=(0.85, 0.2, 0.2, 1.0)),
             translation=fp,
-            rotation=_mat_to_quat_np(np.asarray(model.fplacement_rot[fidx])),
+            rotation=_mat_to_quat_np(
+                np.asarray(model.fplacement_rot[fidx])[None]
+            )[0],
             parent=joint_nodes[model.frame_parents[fidx]],
         )
+
+    # Frame markers (reference viewer markers)
+    for mk in markers:
+        fidx = model.frame_index(mk["frame_name"])
+        b.node(
+            f"marker/{mk['frame_name']}",
+            mesh=b.mesh(
+                *_uv_sphere(float(mk.get("radius", r_bone * 1.6))),
+                rgba=tuple(mk.get("rgba", (0.2, 0.85, 0.3, 1.0))),
+            ),
+            translation=np.asarray(model.fplacement_pos[fidx], np.float64),
+            rotation=_mat_to_quat_np(
+                np.asarray(model.fplacement_rot[fidx])[None]
+            )[0],
+            parent=joint_nodes[model.frame_parents[fidx]],
+        )
+
+    # Contact-force arrows: world-frame nodes animated in translation
+    # (contact position), rotation (force direction) and scale (magnitude).
+    if contact_forces is None:
+        contact_forces = getattr(trajectory, "contact_forces", None)
+    if contact_forces is not None and len(contact_frames):
+        from jiminy_tpu.ops.kinematics import frame_placement
+
+        forces = np.asarray(contact_forces, np.float64)
+        if forces.shape[-1] == 6:
+            forces = forces[..., 3:6]  # (ang, lin) wrench -> linear force
+        # Resample from trajectory.times onto the fps grid
+        tt = np.asarray(trajectory.times, np.float64)
+        f_fps = np.stack(
+            [
+                np.stack(
+                    [np.interp(times, tt, forces[:, c, i]) for i in range(3)],
+                    axis=-1,
+                )
+                for c in range(forces.shape[1])
+            ],
+            axis=1,
+        )  # (T, nc, 3)
+        mag = np.linalg.norm(f_fps, axis=-1)
+        peak = float(mag.max())
+        fscale = (
+            force_scale
+            if force_scale is not None
+            else (0.6 * max(span, 0.5) / peak if peak > 0 else 0.0)
+        )
+        arrow = _arrow_z(max(0.006, r_bone * 0.5))
+        for c, fidx in enumerate(contact_frames):
+            # `kin` is already batched over the fps keyframes
+            cpos = np.asarray(frame_placement(model, kin, fidx).pos, np.float64)
+            dirs = f_fps[:, c] / np.maximum(mag[:, c][:, None], 1e-12)
+            quats = np.stack([_align_z_quat(d) for d in dirs])
+            scales = np.stack(
+                [
+                    np.ones(len(times)),
+                    np.ones(len(times)),
+                    np.maximum(mag[:, c] * fscale, 1e-6),
+                ],
+                axis=-1,
+            )
+            nd = b.node(
+                f"force/{model.frame_names[fidx]}",
+                mesh=b.mesh(*arrow, rgba=(0.95, 0.35, 0.1, 1.0)),
+                translation=cpos[0],
+                rotation=quats[0],
+                scale=scales[0],
+            )
+            channels.append((nd, "translation", t32, cpos.astype(np.float32)))
+            channels.append((nd, "rotation", t32, quats.astype(np.float32)))
+            channels.append((nd, "scale", t32, scales.astype(np.float32)))
+
     if len(times) > 1:
         b.animate(channels)
     return b.save(path)

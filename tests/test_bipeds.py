@@ -10,6 +10,7 @@ import pytest
 from jiminy_tpu.envs import make
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("name,nmot", [("cassie", 10), ("atlas-reduced", 12)])
 def test_biped_rollout_no_nan(name, nmot):
     env = make(name)
@@ -23,6 +24,7 @@ def test_biped_rollout_no_nan(name, nmot):
     assert np.isfinite(float(r))
 
 
+@pytest.mark.slow
 def test_cassie_loop_closure_maintained():
     env = make("cassie")
     st, _ = env.reset(jax.random.PRNGKey(0))

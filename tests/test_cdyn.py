@@ -144,6 +144,7 @@ def test_penalty_bounds_consistency():
     assert abs(float(st_f.v[0])) < 0.05
 
 
+@pytest.mark.slow
 def test_constrained_path_component_crba_matches():
     """Constraint-mode engine with component-wise CRBA/NLE (fast path forced)
     matches the generic constrained path exactly."""
@@ -403,6 +404,7 @@ def test_distance_only_constrained_cm_matches_generic():
     np.testing.assert_allclose(np.asarray(st_f.lam), np.asarray(st_r.lam), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_distance_loops_with_contacts_and_bounds_cm_matches_generic():
     """The Cassie-shaped configuration — loop closures + spring-damper ground
     contacts + penalty joint bounds — on the fully component-wise constrained
@@ -639,6 +641,7 @@ def test_cdyn_terrain_matches_generic():
     np.testing.assert_allclose(np.asarray(fw), np.asarray(fworld), atol=1e-9)
 
 
+@pytest.mark.slow
 def test_fused_distance_period_integrator_batched():
     """The fused whole-period distance-loop integrator (one component-wise
     trace per tick, Pallas megakernel on TPU) matches the per-stage generic
@@ -779,6 +782,7 @@ def _fourbar_contact_robot():
     )
 
 
+@pytest.mark.slow
 def test_fused_constraint_contact_mode_matches_generic():
     """CONSTRAINT contact mode (the reference's default contact model) on the
     fused whole-period path: cone-friction contact rows + joint bound rows +
@@ -828,6 +832,7 @@ def test_fused_constraint_contact_mode_matches_generic():
     assert float(jnp.abs(st_f.lam).max()) > 0.0
 
 
+@pytest.mark.slow
 def test_constraint_mode_stage_warm_start_off_matches_generic():
     """`pgs_stage_warm_start=False` (per-tick frozen warm start, the
     pre-round-3 semantics) must still agree between the fused component path
@@ -875,6 +880,7 @@ def test_constraint_mode_stage_warm_start_off_matches_generic():
     assert float(jnp.abs(st_w.q - st_f.q).max()) > 0.0
 
 
+@pytest.mark.slow
 def test_stage_warm_start_low_iter_accuracy():
     """With stage-chained warm starts a small fixed PGS budget tracks the
     high-iteration solution *per step*: from identical states along the

@@ -102,4 +102,94 @@ def test_simulator_replay_glb(tmp_path):
     doc, blob = load_glb(path)
     _validate_glb(doc, blob)
     names = json.dumps([n["name"] for n in doc["nodes"]])
-    assert "ground" in names and "contact/" in names and "bone/" in names
+    assert "ground" in names and "contact/" in names
+    # Real ANYmal carries URDF visual geometry, which replaces the skeleton
+    assert "visual/" in names and "bone/" not in names
+
+
+def test_export_gltf_visuals_forces_markers(tmp_path):
+    """Scene-fidelity pass: URDF visual geometry rendered under the animated
+    joints, per-contact force arrows animated via scale channels, and frame
+    markers (reference viewer/replay.py feature scope)."""
+    import jax
+
+    env = make("anymal")
+    robot = env.robot
+    assert robot.visual_geoms  # asset loader attached URDF visuals
+    st, _ = env.reset(jax.random.PRNGKey(0))
+    qs, ts, fs = [], [], []
+    import jax.numpy as jnp
+
+    step = jax.jit(env.step)
+    for _ in range(6):
+        st, *_ = step(st, jnp.zeros((env.action_size,)))
+        ts.append(float(st.sim.t))
+        qs.append(np.asarray(st.sim.q))
+        fs.append(np.asarray(st.sim.contact_forces))
+    traj = Trajectory(
+        times=np.asarray(ts),
+        qs=np.stack(qs),
+        robot=robot,
+        contact_forces=np.stack(fs),
+    )
+    path = str(tmp_path / "anymal.glb")
+    export_gltf(
+        traj, path, fps=10.0,
+        markers=[{"frame_name": robot.model.frame_names[-1], "radius": 0.03}],
+    )
+    doc, blob = load_glb(path)
+    _validate_glb(doc, blob)
+    names = [nd.get("name", "") for nd in doc["nodes"]]
+    n_visual = sum(1 for n in names if n.startswith("visual/"))
+    n_force = sum(1 for n in names if n.startswith("force/"))
+    n_marker = sum(1 for n in names if n.startswith("marker/"))
+    assert n_visual >= 10  # real link shapes present
+    assert n_force == len(robot.contact_frame_indices)
+    assert n_marker == 1
+    assert not any(n.startswith("bone/") for n in names)  # skeleton hidden
+    # Scale channels animate the arrows
+    scale_ch = [
+        ch
+        for anim in doc["animations"]
+        for ch in anim["channels"]
+        if ch["target"]["path"] == "scale"
+    ]
+    assert len(scale_ch) == n_force
+    # Standing robot: some contact force arrow has nonzero length
+    anim = doc["animations"][0]
+    lens = []
+    for ch in scale_ch:
+        out = _accessor_data(doc, blob, anim["samplers"][ch["sampler"]]["output"])
+        lens.append(out[:, 2].max())
+    assert max(lens) > 1e-4
+
+
+def test_export_gltf_mesh_visuals(tmp_path):
+    """OBJ/STL visual meshes (vendored cassie toe STLs) load with triangles."""
+    import jax
+
+    env = make("cassie")
+    robot = env.robot
+    has_mesh = any(
+        vg[1] == "mesh" and vg[5] is not None for vg in robot.visual_geoms
+    )
+    st, _ = env.reset(jax.random.PRNGKey(0))
+    traj = Trajectory(
+        times=np.asarray([0.0]), qs=np.asarray(st.sim.q)[None], robot=robot
+    )
+    path = str(tmp_path / "cassie.glb")
+    export_gltf(traj, path)
+    doc, blob = load_glb(path)
+    _validate_glb(doc, blob)
+    names = [nd.get("name", "") for nd in doc["nodes"]]
+    # Cassie ships only its two toe meshes; other links' visuals/collisions
+    # are unvendored meshes, so exactly the toes render.
+    assert sum(1 for n in names if n.startswith("visual/")) >= 2
+    if has_mesh:
+        # Mesh geometry is big: at least one mesh primitive with many verts
+        counts = [
+            doc["accessors"][p["attributes"]["POSITION"]]["count"]
+            for m in doc["meshes"]
+            for p in m["primitives"]
+        ]
+        assert max(counts) > 1000

@@ -4,6 +4,7 @@
 import os
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -12,6 +13,7 @@ from jiminy_tpu.gym import load_pipeline
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.mark.slow
 def test_anymal_pipeline_toml():
     env = load_pipeline(os.path.join(ROOT, "examples", "anymal_pipeline.toml"))
     st, obs = env.reset(jax.random.PRNGKey(0))

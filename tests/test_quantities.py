@@ -77,8 +77,13 @@ def test_odometry_pose_and_velocity():
 
 
 def test_zmp_capture_point_static():
-    """At rest, ZMP and capture point coincide with the CoM ground projection."""
-    env, st = _env_state()
+    """At rest, ZMP and capture point coincide with the CoM ground projection.
+
+    Uses the PD env: with zero action the real ANYmal holds its nominal pose
+    (the plain effort env collapses under zero torque — the old procedural
+    robot merely settled slower)."""
+    env = make("anymal-pid")
+    st, _ = env.reset(jax.random.PRNGKey(0))
     # Settle first
     step = jax.jit(env.step)
     for _ in range(30):
@@ -183,7 +188,10 @@ def test_foot_quantities():
         MultiFootRelativeXYZQuat,
     )
 
-    env, st = _env_state()
+    # PD env: the real ANYmal holds its stance under zero action (the plain
+    # effort env collapses, leaving the feet unloaded)
+    env = make("anymal-pid")
+    st, _ = env.reset(jax.random.PRNGKey(0))
     # Let it settle so contact forces are realistic
     step = jax.jit(env.step)
     a = jnp.zeros((env.action_size,))
@@ -293,3 +301,56 @@ def test_stacked_and_delta_history_carried():
     st2, *_ = step(st, jnp.asarray([0.4]))
     d = float(qm.compute("angle_delta", st2.replace(blocks=st.blocks)))
     np.testing.assert_allclose(d, float(st2.sim.q[0]) - angles[-1], atol=1e-12)
+
+
+def test_multi_frame_orientation_and_multiary():
+    from jiminy_tpu.quantities import (
+        FramePosition,
+        MultiAryOpQuantity,
+        MultiFrameOrientation,
+    )
+
+    env = make("anymal")
+    st, _ = env.reset(jax.random.PRNGKey(0))
+    names = [env.robot.model.frame_names[1], env.robot.model.frame_names[2]]
+    rots = MultiFrameOrientation(names)(env, st)
+    assert rots.shape[-3:] == (2, 3, 3)
+    # Orthonormality
+    eye = np.einsum("...ij,...kj->...ik", np.asarray(rots), np.asarray(rots))
+    np.testing.assert_allclose(eye, np.broadcast_to(np.eye(3), eye.shape), atol=1e-9)
+    q = MultiAryOpQuantity(
+        [FramePosition(names[0]), FramePosition(names[1])],
+        lambda a, b: jnp.linalg.norm(a - b, axis=-1),
+    )
+    assert np.isfinite(float(q(env, st)))
+
+
+def test_reference_position_vector_odometry_overwrite():
+    """ReferencePositionVector: the returned configuration carries the TRUE
+    (x, y, yaw) odometry but the REFERENCE joint configuration
+    (reference quantities/locomotion.py:561)."""
+    from jiminy_tpu.quantities import ReferencePositionVector, TrajectoryDataset
+    from jiminy_tpu.telemetry.trajectory import Trajectory
+
+    env = make("anymal")
+    st, _ = env.reset(jax.random.PRNGKey(0))
+    nq = env.robot.model.nq
+    # Reference trajectory: same pose held, but displaced 5 m in x
+    q_ref = np.asarray(st.sim.q).copy()
+    q_ref[0] += 5.0
+    traj = Trajectory(
+        times=np.array([0.0, 1.0]),
+        qs=np.stack([q_ref, q_ref]),
+        robot=env.robot,
+    )
+    ds = TrajectoryDataset(step_dt=env.step_dt)
+    ds.add("hold", traj)
+    out = np.asarray(ReferencePositionVector(ds, odometry_mode="base")(env, st))
+    assert out.shape == (nq,)
+    # Odometry overwritten with the true base x/y ...
+    np.testing.assert_allclose(out[0:2], np.asarray(st.sim.q)[0:2], atol=1e-9)
+    # ... while the joint configuration stays the reference's
+    np.testing.assert_allclose(out[7:], q_ref[7:], atol=1e-9)
+    # None mode keeps the raw reference odometry
+    out_none = np.asarray(ReferencePositionVector(ds, odometry_mode=None)(env, st))
+    np.testing.assert_allclose(out_none[0], q_ref[0], atol=1e-9)

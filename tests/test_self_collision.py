@@ -285,10 +285,10 @@ def test_collision_pairs_in_constraint_contact_mode():
     assert np.isfinite(np.asarray(st.q)).all()
 
 
-def test_box_box_pair_gets_effective_radius():
+def test_box_box_pair_exact_sat():
     """A pair where BOTH sides are boxes must still generate force: expanded
-    candidate points carry an effective radius (half the local point spacing),
-    so overlap produces depth < 0 (ADVICE r2: was a silent no-op)."""
+    box pairs run the exact 15-axis SAT narrowphase (round-4 upgrade of the
+    ADVICE-r2 effective-radius stopgap)."""
     model = build_model(
         "boxes",
         [
@@ -324,20 +324,20 @@ def test_box_box_pair_gets_effective_radius():
         ],
         collision_pairs=[("baseF", "tipF")],
     )
-    # Every expanded corner sphere has a positive effective radius
-    radii = [g[1] for ga, gb in robot.collision_pairs_geom for g in (ga, gb)]
-    assert all(r > 0.0 for r in radii)
+    # Boxes are now REAL oriented boxes (15-axis SAT), not corner spheres
+    kinds = [g[1] for ga, gb in robot.collision_pairs_geom for g in (ga, gb)]
+    assert all(k == "box" for k in kinds)
 
     from jiminy_tpu.engine import contact as contact_mod
 
-    # Fully coincident boxes: some pair must be in (deep) penetration
+    # Fully coincident 0.2-boxes: exact SAT penetration depth = -0.2
     q0 = jnp.asarray(np.asarray(model.neutral()))
     v0 = jnp.zeros((model.nv,), q0.dtype)
     kin = forward_kinematics(model, q0, v0, jnp.zeros_like(v0))
     _, _, depth = contact_mod.compute_pair_forces(
         model, CONTACT, kin, robot.collision_pairs_geom
     )
-    assert float(np.asarray(depth).min()) < -1e-3
+    np.testing.assert_allclose(float(np.asarray(depth).min()), -0.2, atol=1e-12)
 
 
 def test_degenerate_zero_radius_pair_warns():
@@ -374,3 +374,163 @@ def test_degenerate_zero_radius_pair_warns():
             collision_pairs=[("fA", "fB")],
         )
     assert any("zero-radius" in str(w.message) for w in caught)
+
+
+def test_signed_point_box_exact():
+    """Sphere-vs-box primitive: signed distance, outward normal and surface
+    point are exact outside, inside, and near faces/corners."""
+    from jiminy_tpu.engine.contact import signed_point_box
+
+    rot = jnp.eye(3)
+    pos = jnp.zeros(3)
+    half = jnp.asarray([0.1, 0.2, 0.3])
+    # Outside along +x
+    d, n, s = signed_point_box(jnp.asarray([0.5, 0.0, 0.0]), rot, pos, half)
+    np.testing.assert_allclose(float(d), 0.4, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(n), [1, 0, 0], atol=1e-12)
+    np.testing.assert_allclose(np.asarray(s), [0.1, 0, 0], atol=1e-12)
+    # Outside at a corner
+    p = jnp.asarray([0.2, 0.3, 0.4])
+    d, n, s = signed_point_box(p, rot, pos, half)
+    np.testing.assert_allclose(float(d), np.sqrt(3 * 0.1**2), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(s), [0.1, 0.2, 0.3], atol=1e-12)
+    # Inside: nearest face is x (gap 0.05)
+    d, n, s = signed_point_box(jnp.asarray([0.05, 0.0, 0.0]), rot, pos, half)
+    np.testing.assert_allclose(float(d), -0.05, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(n), [1, 0, 0], atol=1e-12)
+    np.testing.assert_allclose(np.asarray(s), [0.1, 0, 0], atol=1e-12)
+    # Rotated box: 45 deg about z, point on the rotated +x axis
+    c, s45 = np.cos(np.pi / 4), np.sin(np.pi / 4)
+    rz = jnp.asarray([[c, -s45, 0], [s45, c, 0], [0, 0, 1.0]])
+    d, n, _ = signed_point_box(
+        jnp.asarray([0.5 * c, 0.5 * s45, 0.0]), rz, pos, half
+    )
+    np.testing.assert_allclose(float(d), 0.4, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(n), [c, s45, 0.0], atol=1e-12)
+
+
+def test_box_box_sat_face_and_edge_cases():
+    from jiminy_tpu.engine.contact import box_box_sat
+
+    I = jnp.eye(3)
+    h = jnp.asarray([0.1, 0.1, 0.1])
+    # Face-face penetration along x: centers 0.15 apart -> depth -0.05
+    gap, n, c = box_box_sat(I, jnp.zeros(3), h, I, jnp.asarray([0.15, 0, 0]), h)
+    np.testing.assert_allclose(float(gap), -0.05, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(n), [1, 0, 0], atol=1e-12)
+    np.testing.assert_allclose(float(np.asarray(c)[0]), 0.075, atol=1e-12)
+    # Separated -> positive gap, no force regime
+    gap, _, _ = box_box_sat(I, jnp.zeros(3), h, I, jnp.asarray([0.35, 0, 0]), h)
+    np.testing.assert_allclose(float(gap), 0.15, atol=1e-12)
+    # Edge-edge: B rotated 45 deg about z, touching corner-on along x
+    c45, s45 = np.cos(np.pi / 4), np.sin(np.pi / 4)
+    rz = jnp.asarray([[c45, -s45, 0], [s45, c45, 0], [0, 0, 1.0]])
+    # B's corner reaches 0.1*sqrt(2) ~ 0.1414 from its center along x
+    gap, n, _ = box_box_sat(I, jnp.zeros(3), h, rz, jnp.asarray([0.30, 0, 0]), h)
+    np.testing.assert_allclose(float(gap), 0.3 - 0.1 - 0.1 * np.sqrt(2), atol=1e-9)
+    # Diagonal cross-axis case: rotated about x and offset in y+z
+    rx = jnp.asarray([[1.0, 0, 0], [0, c45, -s45], [0, s45, c45]])
+    gap_pen, n, _ = box_box_sat(
+        I, jnp.zeros(3), h, rx, jnp.asarray([0.0, 0.15, 0.15]), h
+    )
+    assert float(gap_pen) < 0  # genuinely overlapping
+    assert float(jnp.dot(n, jnp.asarray([0.0, 1.0, 1.0]))) > 0  # pushes B away
+
+
+def test_capsule_box_narrowphase():
+    """Capsule-vs-box through the public pair pipeline: resting depth and
+    equal-opposite forces."""
+    from jiminy_tpu.engine.contact import pair_narrowphase_force
+
+    model = build_model(
+        "capbox",
+        [
+            {
+                "name": "root",
+                "type": JointType.FREE,
+                "parent": -1,
+                "mass": 1.0,
+                "com": np.zeros(3),
+                "inertia": np.eye(3) * 1e-2,
+            },
+            {
+                "name": "arm",
+                "type": JointType.PRISMATIC,
+                "parent": 0,
+                "axis": np.array([0.0, 0.0, 1.0]),
+                "mass": 1.0,
+                "com": np.zeros(3),
+                "inertia": np.eye(3) * 1e-2,
+            },
+        ],
+        [
+            {"name": "boxF", "parent": 0, "placement": (np.eye(3), np.zeros(3))},
+            {"name": "capF", "parent": 1,
+             "placement": (np.eye(3), np.array([0.0, 0.0, 0.3]))},
+        ],
+    )
+    robot = Robot.build(
+        model,
+        collision_bodies=[
+            {"frame_name": "boxF", "geometry": "box", "size": (0.4, 0.4, 0.4)},
+            {"frame_name": "capF", "geometry": "capsule", "radius": 0.05,
+             "length": 0.2, "axis": (1.0, 0.0, 0.0)},
+        ],
+        collision_pairs=[("boxF", "capF")],
+    )
+    (ga, gb), = robot.collision_pairs_geom
+    assert {ga[1], gb[1]} == {"box", "capsule"}
+    # Neutral pose: capsule axis at z=0.3, box top at z=0.2, radius 0.05
+    # -> gap = 0.3 - 0.2 - 0.05 = 0.05
+    q0 = jnp.asarray(np.asarray(model.neutral()))
+    v0 = jnp.zeros((model.nv,), q0.dtype)
+    kin = forward_kinematics(model, q0, v0, jnp.zeros_like(v0))
+    c, f_b, depth, _, _ = pair_narrowphase_force(CONTACT, kin, ga, kin, gb)
+    np.testing.assert_allclose(float(depth), 0.05, atol=1e-6)
+    # Lower the capsule into the box: q[arm] = -0.12 -> axis z=0.18, pen 0.07
+    q1 = q0.at[-1].set(-0.12)
+    kin = forward_kinematics(model, q1, v0, jnp.zeros_like(v0))
+    c, f_b, depth, _, _ = pair_narrowphase_force(CONTACT, kin, ga, kin, gb)
+    np.testing.assert_allclose(float(depth), -0.07, atol=1e-6)
+    # Force pushes the capsule up (+z on capsule = -f_b if capsule is B...)
+    # ga = box side, gb = capsule side -> f_b acts on the capsule: upward
+    fz = float(np.asarray(f_b)[2])
+    assert fz > 0.0
+
+
+def test_mesh_pair_uses_obb():
+    """Mesh collision bodies become oriented-bounding-box geometries."""
+    pts = np.random.default_rng(0).normal(size=(40, 3)) * [0.1, 0.05, 0.02]
+    model = build_model(
+        "meshy",
+        [
+            {
+                "name": "root",
+                "type": JointType.FREE,
+                "parent": -1,
+                "mass": 1.0,
+                "com": np.zeros(3),
+                "inertia": np.eye(3) * 1e-2,
+            },
+        ],
+        [
+            {"name": "mF", "parent": 0, "placement": (np.eye(3), np.zeros(3))},
+            {"name": "sF", "parent": 0,
+             "placement": (np.eye(3), np.array([1.0, 0.0, 0.0]))},
+        ],
+    )
+    robot = Robot.build(
+        model,
+        collision_bodies=[
+            {"frame_name": "mF", "geometry": "mesh", "points": pts},
+            {"frame_name": "sF", "geometry": "sphere", "radius": 0.05},
+        ],
+        collision_pairs=[("mF", "sF")],
+    )
+    kinds = {g[1] for ga, gb in robot.collision_pairs_geom for g in (ga, gb)}
+    assert kinds == {"box", "capsule"}
+    (ga, gb), = robot.collision_pairs_geom
+    box = ga if ga[1] == "box" else gb
+    half = np.asarray(box[4])
+    # OBB tightly bounds the cloud (same order of magnitude per axis)
+    assert np.all(half > 1e-3) and np.all(half < 0.5)
