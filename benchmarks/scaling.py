@@ -23,6 +23,12 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+# The axon TPU plugin force-registers itself over JAX_PLATFORMS env vars
+# (CLAUDE.md gotcha): honour an explicit CPU request via the config API, which
+# does win, BEFORE any jax op.
+if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
