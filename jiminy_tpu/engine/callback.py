@@ -40,7 +40,12 @@ def host_controller(
 
     def controller(t, q, v, measurements):
         out_dtype = dtype or q.dtype
-        batch = jnp.shape(t)
+        # Batch = broadcast of ALL operand batch dims: under vmap some
+        # operands may be unmapped (e.g. the constant t=0 of `Engine.reset`'s
+        # fixed-point init) and arrive with size-1 batch dims.
+        batch = jnp.broadcast_shapes(
+            jnp.shape(t), jnp.shape(q)[:-1], jnp.shape(v)[:-1]
+        )
         result_shape = jax.ShapeDtypeStruct(tuple(batch) + (n_motors,), out_dtype)
 
         def host_fn(t_, q_, v_, meas_):
@@ -54,7 +59,10 @@ def host_controller(
             t_, q_, v_ = np.asarray(t_), np.asarray(q_), np.asarray(v_)
             meas_ = jax.tree.map(np.asarray, meas_)
             cmd = np.asarray(fn(t_, q_, v_, meas_), dtype=out_dtype)
-            return np.broadcast_to(cmd, tuple(np.shape(t_)) + (n_motors,))
+            b = np.broadcast_shapes(
+                np.shape(t_), np.shape(q_)[:-1], np.shape(v_)[:-1]
+            )
+            return np.broadcast_to(cmd, tuple(b) + (n_motors,))
 
         return jax.pure_callback(
             host_fn,

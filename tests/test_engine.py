@@ -155,8 +155,9 @@ def test_contact_force_reported():
     contact = ContactOptions(stiffness=1e4, damping=1e2, friction=0.0, transition_eps=0.0)
     eng = Engine(robot, EngineOptions(contacts=contact, stepper=StepperOptions(dt_max=1e-3)))
     st = eng.reset(jnp.array([-9.81 / 1e4]))  # static equilibrium penetration
-    for _ in range(400):
-        st = jax.jit(eng.step)(st)
+    step = jax.jit(eng.step)  # ONE wrapper: `jax.jit(eng.step)` in the loop
+    for _ in range(400):      # would retrace every iteration (bound method
+        st = step(st)         # identity changes) — 543 s instead of ~2 s.
     f = np.asarray(st.contact_forces)
     assert f.shape == (1, 3)
     # Settled: ground reaction balances gravity
