@@ -1406,7 +1406,7 @@ def make_generic_rollout(cd, substep, final_outputs, n_extra_std: int,
                 axis=-1,
             )
 
-        def tick_body(c, _):
+        def tick_body(c, _, skip_post=False):
             qa, va, ba, _cca = c
             cc, bc2 = controller_fn(
                 [qa[..., i] for i in range(nq_)],
@@ -1442,7 +1442,7 @@ def make_generic_rollout(cd, substep, final_outputs, n_extra_std: int,
                 cc = [cc_fin[..., i] for i in range(n_cmd)]
             else:
                 qa, va = fin
-            if post_tick_fn is not None:
+            if post_tick_fn is not None and not skip_post:
                 bc2 = post_tick_fn(
                     [qa[..., i] for i in range(nq_)],
                     [va[..., i] for i in range(nv_)],
@@ -1452,9 +1452,16 @@ def make_generic_rollout(cd, substep, final_outputs, n_extra_std: int,
             return (qa, va, stack(bc2), stack(cc)), None
 
         cc0 = jnp.zeros(batch + (n_cmd,), q.dtype)
-        (q_new, v_new, b_new, cc_fin), _ = jax.lax.scan(
-            tick_body, (q, v, carry, cc0), None, length=n_ticks
-        )
+        # The LAST tick skips the end-of-tick post solve: its refreshed
+        # warm-start multipliers/masks are discarded (the caller reads them
+        # from `final_outputs`, which solves the same end state anyway) —
+        # one full constraint solve saved per env step.
+        c_fin = (q, v, carry, cc0)
+        if n_ticks > 1:
+            c_fin, _ = jax.lax.scan(
+                tick_body, c_fin, None, length=n_ticks - 1
+            )
+        (q_new, v_new, b_new, cc_fin), _ = tick_body(c_fin, None, skip_post=True)
         extras = final_outputs(
             [q_new[..., i] for i in range(nq_)],
             [v_new[..., i] for i in range(nv_)],
@@ -1530,7 +1537,7 @@ def _pallas_rollout_fn(cd: "ComponentDynamics", substep, n_substeps: int,
         def tile_of(x):
             return jnp.broadcast_to(x, (sub, 128)).astype(dtype)
 
-        def tick_body(_, carry):
+        def tick_body(_, carry, skip_post=False):
             qs, vs, bs, _cc = carry
             cc, bs2 = controller_fn(list(qs), list(vs), list(bs), ac)
 
@@ -1563,7 +1570,7 @@ def _pallas_rollout_fn(cd: "ComponentDynamics", substep, n_substeps: int,
                 qs, vs, cc = fin
             else:
                 qs, vs = fin
-            if post_tick_fn is not None:
+            if post_tick_fn is not None and not skip_post:
                 bs2 = post_tick_fn(list(qs), list(vs), cc, bs2)
             return (
                 qs,
@@ -1578,12 +1585,13 @@ def _pallas_rollout_fn(cd: "ComponentDynamics", substep, n_substeps: int,
         cc0 = tuple(
             jnp.zeros((sub, 128), dtype) for _ in range(n_cmd)
         )
-        if n_ticks == 1:
-            qs, vs, bs, cc = tick_body(0, (qs0, vs0, bs0, cc0))
-        else:
-            qs, vs, bs, cc = jax.lax.fori_loop(
-                0, n_ticks, tick_body, (qs0, vs0, bs0, cc0)
-            )
+        # Last tick skips the end-of-tick post solve (its refreshed carry is
+        # discarded — `final_outputs` below solves the same end state): one
+        # full in-kernel constraint solve saved per env step.
+        c_fin = (qs0, vs0, bs0, cc0)
+        if n_ticks > 1:
+            c_fin = jax.lax.fori_loop(0, n_ticks - 1, tick_body, c_fin)
+        qs, vs, bs, cc = tick_body(0, c_fin, skip_post=True)
         for i in range(nq):
             qo_ref[0, i] = tile_of(qs[i])
         for i in range(nv):
