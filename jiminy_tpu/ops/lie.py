@@ -405,6 +405,77 @@ def inertia_transform(a: SE3, inertia: jnp.ndarray) -> jnp.ndarray:
     return mm(mm(xf, inertia), xm_inv)
 
 
+# --------------------------------------------------------------------------- #
+# SE(3) exponential/logarithm (motion convention: (angular, linear))
+# --------------------------------------------------------------------------- #
+
+
+def _so3_left_jacobian(w: jnp.ndarray) -> jnp.ndarray:
+    """Left Jacobian V(w) of SO(3): exp6((w, v)) has translation V(w) @ v."""
+    theta2 = jnp.sum(w * w, axis=-1)
+    theta = jnp.sqrt(jnp.maximum(theta2, _eps(w.dtype) ** 2))
+    small = theta2 < _SMALL_ANGLE**2
+    st, ct = jnp.sin(theta), jnp.cos(theta)
+    t2 = jnp.maximum(theta2, _eps(w.dtype) ** 2)
+    # (1 - cos)/theta^2 and (theta - sin)/theta^3 with small-angle series
+    c1 = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - ct) / t2)
+    c2 = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0, (theta - st) / (t2 * theta))
+    s = skew(w)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), s.shape)
+    return eye + c1[..., None, None] * s + c2[..., None, None] * mm(s, s)
+
+
+def _so3_left_jacobian_inv(w: jnp.ndarray) -> jnp.ndarray:
+    """Inverse left Jacobian V(w)^-1 of SO(3) (closed form)."""
+    theta2 = jnp.sum(w * w, axis=-1)
+    theta = jnp.sqrt(jnp.maximum(theta2, _eps(w.dtype) ** 2))
+    small = theta2 < _SMALL_ANGLE**2
+    st, ct = jnp.sin(theta), jnp.cos(theta)
+    denom = jnp.maximum(2.0 * (1.0 - ct), _eps(w.dtype))
+    t2 = jnp.maximum(theta2, _eps(w.dtype) ** 2)
+    coef = jnp.where(small, 1.0 / 12.0 + theta2 / 720.0, (1.0 - theta * st / denom) / t2)
+    s = skew(w)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), s.shape)
+    return eye - 0.5 * s + coef[..., None, None] * mm(s, s)
+
+
+def exp6(motion: jnp.ndarray) -> SE3:
+    """SE(3) exponential: motion (angular, linear) twist -> placement
+    (role of `pinocchio::exp6`, reference freeflyer Lie-group integrate,
+    `core/src/stepper/lie_group.h:452`; pinocchio motion is (linear, angular)
+    — here the package-wide (angular, linear) layout is kept)."""
+    w, v = motion[..., 0:3], motion[..., 3:6]
+    return SE3(exp3_mat(w), mv(_so3_left_jacobian(w), v))
+
+
+def log6(m: SE3) -> jnp.ndarray:
+    """SE(3) logarithm: placement -> motion (angular, linear) twist
+    (role of `pinocchio::log6`; inverse of `exp6`)."""
+    w = log3_mat(m.rot)
+    v = mv(_so3_left_jacobian_inv(w), m.pos)
+    return jnp.concatenate([w, v], axis=-1)
+
+
+def _xyzquat_to_se3(pose: jnp.ndarray) -> SE3:
+    return SE3(quat_to_mat(pose[..., 3:7]), pose[..., 0:3])
+
+
+def xyzquat_difference(prev: jnp.ndarray, now: jnp.ndarray) -> jnp.ndarray:
+    """Geodesic SE(3) difference between two (x,y,z,qx,qy,qz,qw) poses as a
+    LOCAL-frame (angular, linear) twist: log6(M_prev^-1 * M_now)
+    (role of `pin.liegroups.SE3().difference`, reference
+    `quantities/generic.py:1203` `_DifferenceFrameXYZQuat`)."""
+    m_prev, m_now = _xyzquat_to_se3(prev), _xyzquat_to_se3(now)
+    return log6(se3_mul(se3_inv(m_prev), m_now))
+
+
+def xyzquat_integrate(pose: jnp.ndarray, motion: jnp.ndarray) -> jnp.ndarray:
+    """Retract a LOCAL-frame (angular, linear) twist onto an xyzquat pose:
+    M * exp6(motion) (role of `pin.liegroups.SE3().integrate`)."""
+    m = se3_mul(_xyzquat_to_se3(pose), exp6(motion))
+    return jnp.concatenate([m.pos, mat_to_quat(m.rot)], axis=-1)
+
+
 # RPY (URDF convention: extrinsic XYZ = R_z @ R_y @ R_x)
 def rpy_to_mat(rpy: jnp.ndarray) -> jnp.ndarray:
     r, p, y = rpy[..., 0], rpy[..., 1], rpy[..., 2]

@@ -23,6 +23,15 @@ class Quantity:
     def __call__(self, env, state):
         raise NotImplementedError
 
+    def carries(self) -> dict:
+        """Named inner quantities whose end-of-step values must be carried
+        into the next step (written by `ComposedEnv` into
+        `state.blocks['quantity_delta']`).  The TPU-native replacement of the
+        reference's auto-refreshed `StackedQuantity` requirements
+        (`bases/quantities.py:159` SharedCache + transform stacks): history is
+        explicit carried state instead of a host-side ring."""
+        return {}
+
 
 def _kin(env, state, with_velocity=False):
     model = env.robot.model
@@ -70,17 +79,81 @@ class FrameSpatialVelocity(Quantity):
         return frame_velocity_local(model, kin, fidx)
 
 
-class AverageFrameSpatialVelocity(Quantity):
-    """Finite-difference average spatial velocity over the last env step,
-    estimated from the stored previous configuration (reference
-    `AverageFrameSpatialVelocity`).  Requires a `StackObservation`-style carry;
-    falls back to the instantaneous velocity when unavailable."""
+class _DifferenceFrameXYZQuat(Quantity):
+    """Geodesic SE(3) difference of a frame pose between the previous and
+    current env step, as a LOCAL-frame (angular, linear) twist (reference
+    `_DifferenceFrameXYZQuat`, `quantities/generic.py:1203`).  The previous
+    pose is carried in `state.blocks['quantity_delta']` by `ComposedEnv`;
+    before the first step the twist is zero."""
 
-    def __init__(self, frame_name: str, world_aligned: bool = False):
-        self.inner = FrameSpatialVelocity(frame_name, world_aligned)
+    def __init__(self, frame_name: str):
+        self.frame_name = frame_name
+        self.carry_name = f"_xyzquat::{frame_name}"
+        self.pose = FrameXYZQuat(frame_name)
+
+    def carries(self):
+        return {self.carry_name: self.pose}
 
     def __call__(self, env, state):
-        return self.inner(env, state)
+        now = self.pose(env, state)
+        prev = state.blocks.get("quantity_delta", {}).get(self.carry_name)
+        if prev is None:
+            return jnp.zeros(now.shape[:-1] + (6,), now.dtype)
+        return lie.xyzquat_difference(prev, now)
+
+
+class AverageFrameXYZQuat(Quantity):
+    """Midpoint pose of a frame over the last env step, obtained by
+    integrating half the SE(3) step difference backward from the end-of-step
+    pose (reference `AverageFrameXYZQuat`, `quantities/generic.py:1290`).
+    Falls back to the instantaneous pose when no carry is attached."""
+
+    def __init__(self, frame_name: str):
+        self.pose = FrameXYZQuat(frame_name)
+        self.diff = _DifferenceFrameXYZQuat(frame_name)
+
+    def carries(self):
+        return self.diff.carries()
+
+    def __call__(self, env, state):
+        now = self.pose(env, state)
+        return lie.xyzquat_integrate(now, -0.5 * self.diff(env, state))
+
+
+class AverageFrameSpatialVelocity(Quantity):
+    """Finite-difference average spatial velocity of a frame over the last
+    env step: SE(3) step difference over `step_dt`, expressed in the midpoint
+    local frame, optionally re-aligned with world axes (reference
+    `FrameSpatialAverageVelocity`, `quantities/generic.py:1428`).  Falls back
+    to the instantaneous spatial velocity when no carry is attached."""
+
+    def __init__(self, frame_name: str, world_aligned: bool = False):
+        self.frame_name = frame_name
+        self.world_aligned = world_aligned
+        self.diff = _DifferenceFrameXYZQuat(frame_name)
+        self.mean_pose = AverageFrameXYZQuat(frame_name)
+        self.instantaneous = FrameSpatialVelocity(frame_name, world_aligned)
+
+    def carries(self):
+        return self.diff.carries()
+
+    def __call__(self, env, state):
+        prev = state.blocks.get("quantity_delta", {}).get(self.diff.carry_name)
+        if prev is None:
+            return self.instantaneous(env, state)
+        v_local = self.diff(env, state) / env.step_dt
+        if not self.world_aligned:
+            return v_local
+        # Re-align with world axes using the midpoint orientation (the frame
+        # in which the geodesic twist is naturally expressed).
+        quat_mid = self.mean_pose(env, state)[..., 3:7]
+        return jnp.concatenate(
+            [
+                lie.quat_rotate(quat_mid, v_local[..., 0:3]),
+                lie.quat_rotate(quat_mid, v_local[..., 3:6]),
+            ],
+            axis=-1,
+        )
 
 
 # Reference class name (`quantities/generic.py:1429`)
@@ -151,16 +224,19 @@ def remove_yaw(quat: jnp.ndarray) -> jnp.ndarray:
 
 
 class AverageFrameRollPitch(Quantity):
-    """Yaw-free orientation (roll-pitch quaternion) of a frame (reference
-    `AverageFrameRollPitch`, `quantities/generic.py:1364`)."""
+    """Yaw-free orientation (roll-pitch quaternion) of the midpoint frame
+    pose over the last env step (reference `AverageFrameRollPitch`,
+    `quantities/generic.py:1364`, built on `AverageFrameXYZQuat`)."""
 
     def __init__(self, frame_name: str):
         self.frame_name = frame_name
+        self.mean_pose = AverageFrameXYZQuat(frame_name)
+
+    def carries(self):
+        return self.mean_pose.carries()
 
     def __call__(self, env, state):
-        model, kin = _kin(env, state)
-        rot = frame_placement(model, kin, model.frame_index(self.frame_name)).rot
-        return remove_yaw(lie.mat_to_quat(rot))
+        return remove_yaw(self.mean_pose(env, state)[..., 3:7])
 
 
 class MultiActuatedJointKinematic(Quantity):
@@ -188,12 +264,30 @@ class MultiActuatedJointKinematic(Quantity):
         return val
 
 
-class MechanicalPowerConsumption(Quantity):
-    """Instantaneous total mechanical power consumption |u·v| of the motors
-    (reference `MechanicalPowerConsumption`, `quantities/generic.py:1750`;
-    generation mode CHARGE ≡ signed sum, PENALIZE ≡ absolute sum)."""
+class EnergyGenerationMode:
+    """What happens to the energy generated by motors when braking (reference
+    `EnergyGenerationMode`, `quantities/generic.py:1694`): CHARGE flows back
+    to the battery (signed sum), LOST_EACH dissipates each motor's generated
+    energy individually (per-motor clamp at 0), LOST_GLOBAL dissipates only a
+    net-negative total (global clamp at 0), PENALIZE counts generation as
+    consumption (absolute sum)."""
 
-    def __init__(self, generator_mode: str = "penalize"):
+    CHARGE = "charge"
+    LOST_EACH = "lost_each"
+    LOST_GLOBAL = "lost_global"
+    PENALIZE = "penalize"
+
+    ALL = (CHARGE, LOST_EACH, LOST_GLOBAL, PENALIZE)
+
+
+class MechanicalPowerConsumption(Quantity):
+    """Instantaneous total mechanical power consumption of the motors under a
+    given `EnergyGenerationMode` (reference `MechanicalPowerConsumption` +
+    `compute_power`, `quantities/generic.py:1723-1750`)."""
+
+    def __init__(self, generator_mode: str = EnergyGenerationMode.PENALIZE):
+        if generator_mode not in EnergyGenerationMode.ALL:
+            raise ValueError(f"unknown generator_mode {generator_mode!r}")
         self.generator_mode = generator_mode
 
     def __call__(self, env, state):
@@ -202,8 +296,13 @@ class MechanicalPowerConsumption(Quantity):
         vidx = jnp.asarray(motors.v_indices, jnp.int32)
         v_motor = jnp.take(sim.v, vidx, axis=-1) * motors.mechanical_reduction
         power = sim.u_motor * v_motor
-        if self.generator_mode == "charge":
+        mode = self.generator_mode
+        if mode == EnergyGenerationMode.CHARGE:
             return jnp.sum(power, axis=-1)
+        if mode == EnergyGenerationMode.LOST_GLOBAL:
+            return jnp.maximum(jnp.sum(power, axis=-1), 0.0)
+        if mode == EnergyGenerationMode.LOST_EACH:
+            return jnp.sum(jnp.maximum(power, 0.0), axis=-1)
         return jnp.sum(jnp.abs(power), axis=-1)
 
 
@@ -285,6 +384,9 @@ class MaskedQuantity(Quantity):
         self.indices = tuple(indices)
         self.axis = axis
 
+    def carries(self):
+        return getattr(self.inner, "carries", dict)()
+
     def __call__(self, env, state):
         return jnp.take(self.inner(env, state), jnp.asarray(self.indices), axis=self.axis)
 
@@ -307,11 +409,6 @@ class MultiFrameOrientation(Quantity):
         )
 
 
-# Reference name (`quantities/generic.py:1128`): the functional env evaluates
-# once per env step, so the end-of-step pose IS the step-average pose.
-AverageFrameXYZQuat = FrameXYZQuat
-
-
 class OrientationType:
     """Representation selector for orientation quantities (reference
     `quantities/generic.py OrientationType` enum)."""
@@ -327,6 +424,9 @@ class UnaryOpQuantity(Quantity):
         self.inner = inner
         self.op = op
 
+    def carries(self):
+        return getattr(self.inner, "carries", dict)()
+
     def __call__(self, env, state):
         return self.op(self.inner(env, state))
 
@@ -339,6 +439,12 @@ class MultiAryOpQuantity(Quantity):
         self.inners = tuple(inners)
         self.op = op
 
+    def carries(self):
+        out = {}
+        for q in self.inners:
+            out.update(getattr(q, "carries", dict)())
+        return out
+
     def __call__(self, env, state):
         return self.op(*[q(env, state) for q in self.inners])
 
@@ -349,6 +455,10 @@ class BinaryOpQuantity(Quantity):
         self.right = right
         self.op = op
 
+    def carries(self):
+        return {**getattr(self.left, "carries", dict)(),
+                **getattr(self.right, "carries", dict)()}
+
     def __call__(self, env, state):
         return self.op(self.left(env, state), self.right(env, state))
 
@@ -357,6 +467,12 @@ class ConcatenatedQuantity(Quantity):
     def __init__(self, *inners: Quantity, axis: int = -1):
         self.inners = inners
         self.axis = axis
+
+    def carries(self):
+        out = {}
+        for q in self.inners:
+            out.update(getattr(q, "carries", dict)())
+        return out
 
     def __call__(self, env, state):
         return jnp.concatenate([q(env, state) for q in self.inners], axis=self.axis)
@@ -371,6 +487,10 @@ class DeltaQuantity(Quantity):
     def __init__(self, inner: Quantity, name: str):
         self.inner = inner
         self.name = name
+
+    def carries(self):
+        inner_carries = getattr(self.inner, "carries", dict)()
+        return {self.name: self.inner, **inner_carries}
 
     def __call__(self, env, state):
         current = self.inner(env, state)

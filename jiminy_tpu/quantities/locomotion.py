@@ -141,10 +141,62 @@ class BaseRelativeHeight(Quantity):
         return q[..., 2] - h
 
 
-# Reference class names: the functional env evaluates once per env step, so the
-# end-of-step instantaneous value IS the step average (`locomotion.py:223,292`)
-BaseSpatialAverageVelocity = BaseOdometryVelocity
-BaseOdometryAverageVelocity = BaseOdometryVelocity
+class BaseSpatialAverageVelocity(Quantity):
+    """Average spatial velocity (angular, linear) of the floating base over
+    the last env step, expressed in the local odometry frame: z world-aligned,
+    x/y local — the yaw-free midpoint orientation applied to the local
+    geodesic average velocity (reference `BaseSpatialAverageVelocity`,
+    `quantities/locomotion.py:223`).  Falls back to the instantaneous local
+    velocity (same odometry-frame alignment) when no carry is attached."""
+
+    _CARRY = "_xyzquat::base"
+
+    def carries(self):
+        from jiminy_tpu.quantities.generic import Quantity as _Q
+
+        class _BasePose(_Q):
+            def __call__(self, env, state):
+                return state.sim.q[..., 0:7]
+
+        return {self._CARRY: _BasePose()}
+
+    def __call__(self, env, state):
+        from jiminy_tpu.quantities.generic import remove_yaw
+
+        q, v = state.sim.q, state.sim.v
+        now = q[..., 0:7]
+        prev = state.blocks.get("quantity_delta", {}).get(self._CARRY)
+        if prev is None:
+            v_local = jnp.concatenate([v[..., 3:6], v[..., 0:3]], axis=-1)
+            quat_no_yaw = remove_yaw(q[..., 3:7])
+        else:
+            diff = lie.xyzquat_difference(prev, now)
+            v_local = diff / env.step_dt
+            mid = lie.xyzquat_integrate(now, -0.5 * diff)
+            quat_no_yaw = remove_yaw(mid[..., 3:7])
+        return jnp.concatenate(
+            [
+                lie.quat_rotate(quat_no_yaw, v_local[..., 0:3]),
+                lie.quat_rotate(quat_no_yaw, v_local[..., 3:6]),
+            ],
+            axis=-1,
+        )
+
+
+class BaseOdometryAverageVelocity(Quantity):
+    """Average odometry velocity (vx, vy, wz) of the floating base in the
+    local odometry frame over the last env step (reference
+    `BaseOdometryAverageVelocity`, `quantities/locomotion.py:292`)."""
+
+    def __init__(self):
+        self.inner = BaseSpatialAverageVelocity()
+
+    def carries(self):
+        return self.inner.carries()
+
+    def __call__(self, env, state):
+        v6 = self.inner(env, state)  # (angular, linear)
+        return jnp.stack([v6[..., 3], v6[..., 4], v6[..., 2]], axis=-1)
 
 
 class AverageBaseMomentum(Quantity):

@@ -30,14 +30,15 @@ class QuantityManager:
         return {name: q(self.env, state) for name, q in self.registry.items()}
 
     def delta_snapshot(self, state) -> dict:
-        """Values to carry for `DeltaQuantity` evaluation next step."""
-        from jiminy_tpu.quantities.generic import DeltaQuantity
-
-        out = {}
-        for name, q in self.registry.items():
-            if isinstance(q, DeltaQuantity):
-                out[q.name] = q.inner(self.env, state)
-        return out
+        """End-of-step values to carry into next step's
+        `state.blocks['quantity_delta']`: every registered quantity announces
+        what it needs via `Quantity.carries()` (`DeltaQuantity` snapshots its
+        inner value, `_DifferenceFrameXYZQuat`-based averages their frame
+        pose)."""
+        specs: Dict[str, object] = {}
+        for q in self.registry.values():
+            specs.update(getattr(q, "carries", dict)())
+        return {name: spec(self.env, state) for name, spec in specs.items()}
 
     def stack_snapshot(self, state) -> dict:
         """Updated history rings to carry for `StackedQuantity` next step

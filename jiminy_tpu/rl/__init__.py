@@ -7,13 +7,17 @@ of the vmapped env step *inside* the learner program, sharded across devices wit
 """
 
 from jiminy_tpu.rl.checkpoint import restore_checkpoint, save_checkpoint
-from jiminy_tpu.rl.evaluate import evaluate, policy_from_params
+from jiminy_tpu.rl.curriculum import TaskCurriculum, TaskScheduler
+from jiminy_tpu.rl.evaluate import evaluate, evaluate_batch, policy_from_params
 from jiminy_tpu.rl.ppo import PPOConfig, PPOState, make_train, train
 
 __all__ = [
     "PPOConfig",
+    "TaskCurriculum",
+    "TaskScheduler",
     "PPOState",
     "evaluate",
+    "evaluate_batch",
     "make_train",
     "policy_from_params",
     "restore_checkpoint",

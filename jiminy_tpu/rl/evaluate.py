@@ -96,3 +96,66 @@ def evaluate(
         )
         stats["gif"] = record_gif
     return traj, stats
+
+
+def evaluate_batch(
+    env,
+    policy: Callable,
+    n_episodes: int = 16,
+    n_steps: int = 1000,
+    key: Optional[jnp.ndarray] = None,
+) -> Dict[str, Any]:
+    """Vmapped multi-episode evaluation: `n_episodes` independently-seeded
+    rollouts in one jitted program, aggregated into mean/std statistics
+    (role of the reference's many-episode `evaluate_from_runner` aggregation,
+    `rllib/utilities.py:1277-1533` — Ray workers there, one batched scan
+    here).
+
+    Returns a dict with `return_mean/std`, `length_mean/std`,
+    `terminated_frac`, and the per-episode arrays under `episodes`.
+    Episode boundaries: each rollout runs `n_steps` steps with no auto-reset;
+    the first termination/truncation ends the scored episode.
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    keys = jax.random.split(key, n_episodes)
+
+    def one_episode(k):
+        k_reset, k_roll = jax.random.split(k)
+        state, _ = env.reset(k_reset)
+        state = state.replace(key=k_roll)
+
+        def body(carry, _):
+            st, done_so_far = carry
+            kk, sub = jax.random.split(st.key)
+            st = st.replace(key=kk)
+            action = policy(env.observe(st), sub)
+            st, _, reward, term, trunc, _ = env.step(st, action)
+            live = ~done_so_far
+            done_so_far = done_so_far | term | trunc
+            return (st, done_so_far), (
+                jnp.where(live, reward, 0.0),
+                live,
+                term & live,
+            )
+
+        (_, _), (rewards, lives, terms) = jax.lax.scan(
+            body, (state, jnp.asarray(False)), None, length=n_steps
+        )
+        return {
+            "return": jnp.sum(rewards),
+            "length": jnp.sum(lives.astype(jnp.int32)),
+            "terminated": jnp.any(terms),
+        }
+
+    episodes = jax.jit(jax.vmap(one_episode))(keys)
+    returns = np.asarray(episodes["return"], np.float64)
+    lengths = np.asarray(episodes["length"], np.float64)
+    return {
+        "return_mean": float(returns.mean()),
+        "return_std": float(returns.std()),
+        "length_mean": float(lengths.mean()),
+        "length_std": float(lengths.std()),
+        "terminated_frac": float(np.asarray(episodes["terminated"]).mean()),
+        "episodes": {k: np.asarray(v) for k, v in episodes.items()},
+    }

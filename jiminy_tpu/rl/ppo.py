@@ -83,6 +83,12 @@ class PPOState:
     # episode, carried across rollout boundaries.
     ep_return: jnp.ndarray  # (n_envs,)
     ep_length: jnp.ndarray  # (n_envs,) int32
+    # Task-curriculum state (reference `TaskSchedulingSamplingCallback`,
+    # `rllib/curriculum.py:84`): per-node moving score stats + the flat task
+    # sampling probabilities consumed by auto-reset resampling in the rollout.
+    # None unless `make_train(..., curriculum=...)` is used.
+    task_stats: Any = None
+    task_probs: Any = None
 
 
 def _gaussian_logp(mean, log_std, action):
@@ -96,11 +102,27 @@ def _gaussian_entropy(log_std):
     return jnp.sum(log_std + 0.5 * jnp.log(2 * jnp.pi * jnp.e), axis=-1)
 
 
+def _find_task_wrapper(env):
+    """Locate the `TaskSettableWrapper` in a wrapper chain."""
+    from jiminy_tpu.toolbox.meta_envs import TaskSettableWrapper
+
+    node = env
+    while node is not None:
+        if isinstance(node, TaskSettableWrapper):
+            return node
+        node = getattr(node, "env", None)
+    raise ValueError(
+        "curriculum training requires the env to be wrapped with "
+        "jiminy_tpu.toolbox.meta_envs.TaskSettableWrapper"
+    )
+
+
 def make_train(
     env,
     config: PPOConfig,
     mesh: Optional[jax.sharding.Mesh] = None,
     symmetry: Optional[tuple] = None,
+    curriculum=None,
 ):
     """Returns (init_fn, train_step_fn).
 
@@ -108,8 +130,20 @@ def make_train(
     auto-reset is applied here.
     `symmetry`: optional (mirror_obs_fn, mirror_act_fn) pair for the symmetry
     surrogate loss (reference mirror matrices, `rllib/ppo.py:151`).
+    `curriculum`: optional `jiminy_tpu.rl.curriculum.TaskCurriculum`; the env
+    chain must then contain a `TaskSettableWrapper` over the matching task
+    space.  Episode tasks are resampled at auto-reset *inside* the jitted
+    rollout from `PPOState.task_probs`, and the probabilities are refreshed
+    from per-task score deltas every iteration (reference
+    `TaskSchedulingSamplingCallback`, `rllib/curriculum.py:84-500`).
     `init_fn(key) -> PPOState`; `train_step(state) -> (state, metrics)`.
     """
+    task_wrapper = None
+    if curriculum is not None:
+        task_wrapper = _find_task_wrapper(env)
+        assert task_wrapper.task_space is curriculum.space or (
+            task_wrapper.task_space.paths == curriculum.space.paths
+        ), "curriculum and TaskSettableWrapper must share the task space"
     env = AutoResetWrapper(env)
     network = ActorCritic(
         env.action_size, hidden=config.hidden,
@@ -152,6 +186,10 @@ def make_train(
         if data_sharding is not None:
             ep_return = jax.device_put(ep_return, data_sharding)
             ep_length = jax.device_put(ep_length, data_sharding)
+        task_stats = task_probs = None
+        if curriculum is not None:
+            task_stats = curriculum.init_stats()
+            task_probs = curriculum.flat_probabilities(task_stats)
         return PPOState(
             params=params,
             opt_state=opt_state,
@@ -161,6 +199,8 @@ def make_train(
             iteration=jnp.asarray(0, jnp.int32),
             ep_return=ep_return,
             ep_length=ep_length,
+            task_stats=task_stats,
+            task_probs=task_probs,
         )
 
     def rollout(state: PPOState):
@@ -172,6 +212,9 @@ def make_train(
                 k_act, mean.shape, mean.dtype
             )
             logp = _gaussian_logp(mean, log_std, action)
+            if curriculum is not None:
+                # The episode finishing at this step carries the PRE-reset task
+                task_before = env_state.blocks["task"]
             if batched:
                 env_state, next_obs, reward, term, trunc, info = env.step(
                     env_state, action
@@ -198,6 +241,20 @@ def make_train(
             }
             ep_ret = jnp.where(done, 0.0, ep_ret)
             ep_len = jnp.where(done, 0, ep_len)
+            if curriculum is not None:
+                # Auto-reset task resampling from the curriculum's live
+                # probabilities (role of the reference's per-episode
+                # `np_random.choice(..., p=proba_task_tree_flat)` in
+                # `meta_envs.py:297` + the runner-group probability broadcast).
+                key, k_task = jax.random.split(key)
+                new_idx = jax.random.categorical(
+                    k_task,
+                    jnp.log(jnp.maximum(state.task_probs, 1e-12)),
+                    shape=done.shape,
+                )
+                idx = jnp.where(done, new_idx, env_state.blocks["task"])
+                env_state = task_wrapper.set_task_state(env_state, idx)
+                data["task"] = task_before
             return (env_state, next_obs, key, ep_ret, ep_len), data
 
         (env_state, last_obs, key, ep_ret, ep_len), traj = jax.lax.scan(
@@ -368,10 +425,29 @@ def make_train(
             None,
             length=config.n_epochs,
         )
+        task_stats, task_probs = state.task_stats, state.task_probs
+        extra_metrics = {}
+        if curriculum is not None:
+            # Standardized episode score = return / max episode steps
+            # (reference default score_fn, `rllib/curriculum.py:255-260`),
+            # logged to every tree node along the task's path, then softmin
+            # probabilities — all in-jit.
+            max_steps = float(getattr(env, "horizon", config.n_steps))
+            scores = traj["ep_return_final"] / max_steps
+            sums, counts = curriculum.node_increments(
+                traj["task"], scores, traj["done"]
+            )
+            task_stats = curriculum.update_stats(task_stats, sums, counts)
+            task_probs = curriculum.flat_probabilities(task_stats)
+            extra_metrics["task_probs"] = task_probs
+            extra_metrics["task_entropy"] = -jnp.sum(
+                task_probs * jnp.log(jnp.maximum(task_probs, 1e-12))
+            )
         mean_reward = jnp.mean(traj["reward"])
         n_done = jnp.sum(traj["done"].astype(jnp.float32))
         denom = jnp.maximum(n_done, 1.0)
         ep_metrics = {
+            **extra_metrics,
             "mean_reward": mean_reward,
             "mean_done": jnp.mean(traj["done"].astype(jnp.float32)),
             "episode_return_mean": jnp.sum(traj["ep_return_final"]) / denom,
@@ -390,6 +466,8 @@ def make_train(
             iteration=state.iteration + 1,
             ep_return=ep_ret,
             ep_length=ep_len,
+            task_stats=task_stats,
+            task_probs=task_probs,
         )
         return new_state, ep_metrics
 
@@ -403,6 +481,7 @@ def train(
     mesh: Optional[jax.sharding.Mesh] = None,
     callback: Optional[Callable] = None,
     symmetry: Optional[tuple] = None,
+    curriculum=None,
     log_dir: Optional[str] = None,
     checkpoint_every: int = 0,
 ):
@@ -420,7 +499,9 @@ def train(
     """
     if key is None:
         key = jax.random.PRNGKey(0)
-    init_fn, train_step = make_train(env, config, mesh=mesh, symmetry=symmetry)
+    init_fn, train_step = make_train(
+        env, config, mesh=mesh, symmetry=symmetry, curriculum=curriculum
+    )
     state = init_fn(key)
     step = jax.jit(train_step)
     metrics_file = None
@@ -435,7 +516,10 @@ def train(
     try:
         for i in range(config.total_iterations):
             state, metrics = step(state)
-            metrics = {k: float(v) for k, v in metrics.items()}
+            metrics = {
+                k: float(v) if jnp.ndim(v) == 0 else np.asarray(v).tolist()
+                for k, v in metrics.items()
+            }
             history.append(metrics)
             if metrics_file is not None:
                 import json

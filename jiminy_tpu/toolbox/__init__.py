@@ -7,7 +7,11 @@ from jiminy_tpu.toolbox.locomotion import (
     ProjectedSupportPolygon,
     StabilityMarginQuantity,
 )
-from jiminy_tpu.toolbox.meta_envs import TaskSettableEnv
+from jiminy_tpu.toolbox.meta_envs import (
+    TaskSettableEnv,
+    TaskSettableWrapper,
+    TaskSpace,
+)
 
 __all__ = [
     "ConvexHull2D",
@@ -16,4 +20,6 @@ __all__ = [
     "StabilityMarginQuantity",
     "MaximizeRobustnessReward",
     "TaskSettableEnv",
+    "TaskSettableWrapper",
+    "TaskSpace",
 ]

@@ -1,0 +1,131 @@
+"""Hierarchical task spaces, task-settable wrapper, and in-jit curriculum
+training (reference `toolbox/wrappers/meta_envs.py:27-364` +
+`rllib/curriculum.py:84-500`)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jiminy_tpu.envs import make
+from jiminy_tpu.gym import ComposedEnv, FlattenObservation
+from jiminy_tpu.rl import PPOConfig, TaskCurriculum, make_train
+from jiminy_tpu.toolbox import TaskSettableWrapper, TaskSpace
+
+# The nested example tree from the reference `BaseTaskSettableWrapper`
+# docstring (meta_envs.py:38-96): 14 tasks.
+REF_TREE = ((3, 1, 2), 1, (2, 1, 1, (2, 1)))
+
+
+def test_task_space_reference_example():
+    ts = TaskSpace(REF_TREE)
+    assert ts.num_tasks == 14
+    # Reference task paths (meta_envs.py:84-90): T_1 = (0,0,0), T_13 index 12
+    # path (2,3,0,1) (leaf discrete item index is the last component).
+    assert ts.paths[0] == (0, 0, 0)
+    assert ts.paths[12] == (2, 3, 0, 1)
+    # Evenly-distributed tree probabilities: the reference's default
+    # `initial_proba_task_tree` gives P(T_7)=1/3, P(T_1)=1/3*1/3*1/3
+    # (meta_envs.py:73-79).
+    probs = ts.uniform_flat_probs()
+    np.testing.assert_allclose(probs.sum(), 1.0, atol=1e-12)
+    np.testing.assert_allclose(probs[6], 1.0 / 3.0, atol=1e-12)  # T_7 = (1,0)
+    np.testing.assert_allclose(probs[0], 1.0 / 27.0, atol=1e-12)
+    # Every path prefix is a scoring node
+    assert ts.num_nodes == len({p[:i] for p in ts.paths for i in range(1, len(p) + 1)})
+
+
+def test_curriculum_softmin_maximin():
+    """Low-scoring (hard) tasks gain probability — the reference's maximin
+    objective (`curriculum.py:88-127`); unvisited siblings fall back to the
+    group mean score."""
+    ts = TaskSpace((3,))
+    cur = TaskCurriculum(ts, softmin_beta=2.0, history_length=50)
+    stats = cur.init_stats()
+    # No data at all -> uniform
+    np.testing.assert_allclose(
+        np.asarray(cur.flat_probabilities(stats)), np.ones(3) / 3, atol=1e-6
+    )
+    # Task 0 easy (score 1.0), task 1 hard (0.0), task 2 never sampled
+    ti = jnp.asarray([0, 0, 1, 1])
+    sc = jnp.asarray([1.0, 1.0, 0.0, 0.0])
+    stats = cur.update_stats(stats, *cur.node_increments(ti, sc, jnp.ones(4, bool)))
+    p = np.asarray(cur.flat_probabilities(stats))
+    assert p[1] > p[2] > p[0]  # hard > unknown(=group mean) > easy
+    np.testing.assert_allclose(p.sum(), 1.0, atol=1e-6)
+    # Unvisited task 2 sits exactly at the group-mean fallback: its weight is
+    # exp(-beta*mean(scores)) relative to the others
+    w = np.exp(-2.0 * np.array([1.0, 0.0, 0.5]))
+    np.testing.assert_allclose(p, w / w.sum(), atol=1e-6)
+
+
+def test_curriculum_moving_average_horizon():
+    ts = TaskSpace((2,))
+    cur = TaskCurriculum(ts, history_length=4)
+    stats = cur.init_stats()
+    one = jnp.ones(1, bool)
+    for s in (0.0, 0.0, 0.0, 0.0):
+        stats = cur.update_stats(
+            stats, *cur.node_increments(jnp.asarray([0]), jnp.asarray([s]), one)
+        )
+    # Count is capped at the horizon, so fresh scores keep real weight
+    assert float(stats["count"][0]) == 4.0
+    for s in (1.0, 1.0, 1.0, 1.0):
+        stats = cur.update_stats(
+            stats, *cur.node_increments(jnp.asarray([0]), jnp.asarray([s]), one)
+        )
+    # Capped-count mean decays old data at (H/(H+1))^k: 1-(4/5)^4 ~ 0.59
+    assert float(stats["mean"][0]) > 0.55  # window forgot most of the zeros
+
+
+def test_task_settable_wrapper_reset_and_obs():
+    env = make("pendulum", horizon=8)
+    ts = TaskSpace((2,))
+    wrapped = TaskSettableWrapper(env, ts)
+    st, obs = wrapped.reset(jax.random.PRNGKey(0))
+    assert int(st.blocks["task"]) in (0, 1)
+    assert obs["task"].shape == (2,)
+    np.testing.assert_allclose(float(obs["task"].sum()), 1.0)
+    # Sampling follows initial_probs
+    wrapped2 = TaskSettableWrapper(env, ts, initial_probs=np.array([0.0, 1.0]))
+    reset = jax.jit(jax.vmap(wrapped2.reset))
+    sts, _ = reset(jax.random.split(jax.random.PRNGKey(1), 64))
+    assert np.asarray(sts.blocks["task"]).min() == 1
+    # Task index rides through steps and lands in info
+    st2, obs2, *_rest, info = wrapped.step(st, jnp.zeros(env.action_size))
+    assert int(info["task_index"]) == int(st.blocks["task"])
+
+
+def test_curriculum_training_shifts_probabilities():
+    """End-to-end: PPO training over a task-settable env with a task-dependent
+    reward shifts the sampling probabilities toward the low-return task
+    (VERDICT r5 item 3; reference `TaskSchedulingSamplingCallback` wiring)."""
+    env = make("pendulum", horizon=8)
+    ts = TaskSpace((2,))
+    wrapped = TaskSettableWrapper(env, ts)
+
+    def reward_fn(env_, prev, action, state):
+        # Task 0 yields reward 1 per step, task 1 yields 0: task 1 is "hard".
+        return jnp.where(state.blocks["task"] == 0, 1.0, 0.0)
+
+    cenv = FlattenObservation(ComposedEnv(wrapped, reward=reward_fn))
+    cur = TaskCurriculum(ts, softmin_beta=3.0, history_length=20)
+    config = PPOConfig(
+        n_envs=16, n_steps=16, n_epochs=1, n_minibatches=1,
+        total_iterations=3, hidden=(16, 16),
+    )
+    init_fn, train_step = make_train(cenv, config, curriculum=cur)
+    state = init_fn(jax.random.PRNGKey(0))
+    p0 = np.asarray(state.task_probs)
+    np.testing.assert_allclose(p0, [0.5, 0.5], atol=1e-6)
+    step = jax.jit(train_step)
+    for _ in range(3):
+        state, metrics = step(state)
+    p = np.asarray(state.task_probs)
+    assert p[1] > 0.6, f"hard task should dominate sampling, got {p}"
+    np.testing.assert_allclose(p.sum(), 1.0, atol=1e-5)
+    assert "task_probs" in metrics and "task_entropy" in metrics
+    # Tasks were actually resampled inside the rollout: env batch holds both
+    tasks = np.asarray(state.env_state.blocks["task"])
+    assert tasks.shape == (16,)
+    # After 3 iterations of heavily-skewed sampling most envs run task 1
+    assert (tasks == 1).sum() >= (tasks == 0).sum()

@@ -149,3 +149,81 @@ def test_float32_small_angle_stability():
     np.testing.assert_allclose(np.asarray(w2), np.asarray(w), atol=1e-7)
     g = jax.grad(lambda x: jnp.sum(lie.exp3(x)))(jnp.zeros(3, dtype=jnp.float32))
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+# --------------------------------------------------------------------------- #
+# SE(3) exp/log (exp6/log6) and xyzquat geodesic difference/integrate
+# --------------------------------------------------------------------------- #
+
+
+def random_xyzquats(n):
+    q = random_quats(n)
+    p = RNG.normal(size=(n, 3))
+    return np.concatenate([p, q], axis=-1)
+
+
+def test_exp6_log6_round_trip():
+    motion = RNG.normal(size=(64, 6))
+    m = lie.exp6(jnp.array(motion))
+    back = np.asarray(lie.log6(m))
+    np.testing.assert_allclose(back, motion, atol=1e-10)
+    # And the other way: random placement -> log6 -> exp6
+    pose = random_xyzquats(64)
+    se3 = lie.SE3(lie.quat_to_mat(jnp.array(pose[:, 3:7])), jnp.array(pose[:, 0:3]))
+    m2 = lie.exp6(lie.log6(se3))
+    np.testing.assert_allclose(np.asarray(m2.pos), pose[:, 0:3], atol=1e-10)
+    np.testing.assert_allclose(np.asarray(m2.rot), np.asarray(se3.rot), atol=1e-10)
+
+
+def test_exp6_screw_motion_oracle():
+    # Pure rotation about z through angle a, plus axial translation h: the
+    # classic screw —  exp6((0,0,a, 0,0,h)) must advance along the screw axis.
+    a, h = 0.7, 0.3
+    m = lie.exp6(jnp.array([0.0, 0.0, a, 0.0, 0.0, h]))
+    np.testing.assert_allclose(
+        np.asarray(m.rot), R.from_euler("z", a).as_matrix(), atol=1e-12
+    )
+    np.testing.assert_allclose(np.asarray(m.pos), [0.0, 0.0, h], atol=1e-12)
+    # In-plane translation wraps around the screw axis: |p_xy| = 2 sin(a/2)/a * |v_xy|
+    m2 = lie.exp6(jnp.array([0.0, 0.0, a, 1.0, 0.0, 0.0]))
+    chord = 2.0 * np.sin(a / 2.0) / a
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(m2.pos)), chord, atol=1e-12
+    )
+
+
+def test_xyzquat_difference_integrate_round_trip():
+    prev, now = random_xyzquats(64), random_xyzquats(64)
+    diff = lie.xyzquat_difference(jnp.array(prev), jnp.array(now))
+    rebuilt = np.asarray(lie.xyzquat_integrate(jnp.array(prev), diff))
+    np.testing.assert_allclose(rebuilt[:, 0:3], now[:, 0:3], atol=1e-9)
+    dot = np.abs(np.sum(rebuilt[:, 3:7] * now[:, 3:7], axis=-1))
+    np.testing.assert_allclose(dot, 1.0, atol=1e-9)
+
+
+def test_xyzquat_midpoint_is_geodesic_midpoint():
+    # Integrating -0.5*diff back from `now` must land at the same pose as
+    # integrating +0.5*diff forward from `prev` (geodesic midpoint).
+    prev, now = random_xyzquats(32), random_xyzquats(32)
+    diff = lie.xyzquat_difference(jnp.array(prev), jnp.array(now))
+    mid_b = np.asarray(lie.xyzquat_integrate(jnp.array(now), -0.5 * diff))
+    mid_f = np.asarray(lie.xyzquat_integrate(jnp.array(prev), 0.5 * diff))
+    np.testing.assert_allclose(mid_b[:, 0:3], mid_f[:, 0:3], atol=1e-9)
+    dot = np.abs(np.sum(mid_b[:, 3:7] * mid_f[:, 3:7], axis=-1))
+    np.testing.assert_allclose(dot, 1.0, atol=1e-9)
+
+
+def test_log6_small_motion_linearization():
+    # For small displacements the twist reduces to (dtheta, dp_local).
+    pose = random_xyzquats(16)
+    eps = 1e-6
+    dp = RNG.normal(size=(16, 3)) * eps
+    now = pose.copy()
+    now[:, 0:3] += dp
+    diff = np.asarray(
+        lie.xyzquat_difference(jnp.array(pose), jnp.array(now))
+    )
+    rot = R.from_quat(pose[:, 3:7]).as_matrix()
+    dp_local = np.einsum("nij,nj->ni", rot.transpose(0, 2, 1), dp)
+    np.testing.assert_allclose(diff[:, 0:3], 0.0, atol=1e-12)
+    np.testing.assert_allclose(diff[:, 3:6], dp_local, rtol=1e-6, atol=1e-14)

@@ -354,3 +354,136 @@ def test_reference_position_vector_odometry_overwrite():
     # None mode keeps the raw reference odometry
     out_none = np.asarray(ReferencePositionVector(ds, odometry_mode=None)(env, st))
     np.testing.assert_allclose(out_none[0], q_ref[0], atol=1e-9)
+
+
+def test_average_frame_quantities_are_finite_differences():
+    """The Average* quantities use the SE(3) geodesic step difference via the
+    quantity_delta carry, matching the reference's definitions (reference
+    `_DifferenceFrameXYZQuat`/`AverageFrameXYZQuat`/`FrameSpatialAverageVelocity`,
+    `quantities/generic.py:1203-1530`)."""
+    import jax
+
+    from jiminy_tpu.gym.pipeline import ComposedEnv
+    from jiminy_tpu.ops import lie
+    from jiminy_tpu.quantities import (
+        AverageFrameSpatialVelocity,
+        AverageFrameXYZQuat,
+        FrameXYZQuat,
+    )
+    from jiminy_tpu.quantities.manager import QuantityManager
+
+    env = make("anymal")
+    qm = QuantityManager(env)
+    qm["avg_pose"] = AverageFrameXYZQuat("LF_FOOT")
+    qm["avg_vel"] = AverageFrameSpatialVelocity("LF_FOOT")
+    cenv = ComposedEnv(env, quantities=qm)
+    st, _ = cenv.reset(jax.random.PRNGKey(0))
+    pose_prev = np.asarray(FrameXYZQuat("LF_FOOT")(env, st))
+    action = jnp.zeros(env.action_size)
+    st2, *_ = jax.jit(cenv.step)(st, action)
+
+    pose_now = np.asarray(FrameXYZQuat("LF_FOOT")(env, st2))
+    # Evaluate with the carry from the PREVIOUS step (as rewards see it)
+    st_eval = st2.replace(blocks=st.blocks)
+    diff = np.asarray(
+        lie.xyzquat_difference(jnp.asarray(pose_prev), jnp.asarray(pose_now))
+    )
+
+    # Average velocity = geodesic difference / step_dt, LOCAL frame
+    v_avg = np.asarray(qm.compute("avg_vel", st_eval))
+    np.testing.assert_allclose(v_avg, diff / env.step_dt, atol=1e-9)
+
+    # Midpoint pose = integrate(-0.5 * diff) back from the end-of-step pose
+    mid = np.asarray(qm.compute("avg_pose", st_eval))
+    want = np.asarray(
+        lie.xyzquat_integrate(jnp.asarray(pose_now), jnp.asarray(-0.5 * diff))
+    )
+    np.testing.assert_allclose(mid[0:3], want[0:3], atol=1e-9)
+    assert abs(float(np.sum(mid[3:7] * want[3:7]))) > 1.0 - 1e-9
+
+    # Carry snapshot after the step holds the end-of-step pose
+    np.testing.assert_allclose(
+        np.asarray(st2.blocks["quantity_delta"]["_xyzquat::LF_FOOT"]),
+        pose_now,
+        atol=1e-12,
+    )
+
+
+def test_base_spatial_average_velocity_odometry_frame():
+    """`BaseSpatialAverageVelocity` expresses the average base twist in the
+    local odometry frame (z world-aligned, x/y local) and
+    `BaseOdometryAverageVelocity` selects (vx, vy, wz) from it (reference
+    `quantities/locomotion.py:223,292`)."""
+    import jax
+
+    from jiminy_tpu.gym.pipeline import ComposedEnv
+    from jiminy_tpu.ops import lie
+    from jiminy_tpu.quantities import (
+        BaseOdometryAverageVelocity,
+        BaseSpatialAverageVelocity,
+    )
+    from jiminy_tpu.quantities.generic import remove_yaw
+    from jiminy_tpu.quantities.manager import QuantityManager
+
+    env = make("anymal")
+    qm = QuantityManager(env)
+    qm["v_base"] = BaseSpatialAverageVelocity()
+    qm["v_odom"] = BaseOdometryAverageVelocity()
+    cenv = ComposedEnv(env, quantities=qm)
+    st, _ = cenv.reset(jax.random.PRNGKey(0))
+    q_prev = np.asarray(st.sim.q[0:7])
+    st2, *_ = jax.jit(cenv.step)(st, jnp.zeros(env.action_size))
+    q_now = np.asarray(st2.sim.q[0:7])
+
+    st_eval = st2.replace(blocks=st.blocks)
+    got = np.asarray(qm.compute("v_base", st_eval))
+
+    diff = lie.xyzquat_difference(jnp.asarray(q_prev), jnp.asarray(q_now))
+    v_local = np.asarray(diff) / env.step_dt
+    mid = lie.xyzquat_integrate(jnp.asarray(q_now), -0.5 * diff)
+    quat_no_yaw = remove_yaw(mid[3:7])
+    want = np.concatenate(
+        [
+            np.asarray(lie.quat_rotate(quat_no_yaw, jnp.asarray(v_local[0:3]))),
+            np.asarray(lie.quat_rotate(quat_no_yaw, jnp.asarray(v_local[3:6]))),
+        ]
+    )
+    np.testing.assert_allclose(got, want, atol=1e-9)
+
+    odo = np.asarray(qm.compute("v_odom", st_eval))
+    np.testing.assert_allclose(odo, [got[3], got[4], got[2]], atol=1e-12)
+
+
+def test_energy_generation_modes():
+    """All four `EnergyGenerationMode`s of `MechanicalPowerConsumption`
+    (reference `compute_power`, `quantities/generic.py:1723`)."""
+    from jiminy_tpu.quantities import EnergyGenerationMode, MechanicalPowerConsumption
+
+    env, st = _env_state()
+    # Force a mixed-sign power distribution via a synthetic motor effort
+    vidx = jnp.asarray(env.robot.motors.v_indices, jnp.int32)
+    v_m = np.asarray(jnp.take(st.sim.v, vidx, axis=-1) * env.robot.motors.mechanical_reduction)
+    rng = np.random.default_rng(3)
+    u = rng.normal(size=v_m.shape)
+    v_m = rng.normal(size=v_m.shape)
+    st = st.replace(sim=st.sim.replace(u_motor=jnp.asarray(u)))
+    v_full = np.array(st.sim.v)
+    v_full[np.asarray(vidx)] = v_m / np.asarray(env.robot.motors.mechanical_reduction)
+    st = st.replace(sim=st.sim.replace(v=jnp.asarray(v_full)))
+
+    power = u * v_m
+    cases = {
+        EnergyGenerationMode.CHARGE: power.sum(),
+        EnergyGenerationMode.LOST_GLOBAL: max(power.sum(), 0.0),
+        EnergyGenerationMode.LOST_EACH: np.maximum(power, 0.0).sum(),
+        EnergyGenerationMode.PENALIZE: np.abs(power).sum(),
+    }
+    for mode, want in cases.items():
+        got = float(MechanicalPowerConsumption(mode)(env, st))
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+    assert (
+        cases[EnergyGenerationMode.CHARGE]
+        <= cases[EnergyGenerationMode.LOST_GLOBAL]
+        <= cases[EnergyGenerationMode.LOST_EACH]
+        <= cases[EnergyGenerationMode.PENALIZE]
+    )

@@ -200,3 +200,104 @@ def test_randomize_model():
         model, jax.random.PRNGKey(0), mass_std=0.1, com_std=0.01, inertia_std=0.1
     )
     np.testing.assert_array_equal(np.asarray(m2.mass), np.asarray(m3.mass))
+
+
+# --------------------------------------------------------------------------- #
+# Spline parity vs scipy (reference `toolbox/math/spline.py:189` API)
+# --------------------------------------------------------------------------- #
+
+
+def _spline_case(mode):
+    rng = np.random.default_rng(7)
+    ts = np.sort(rng.uniform(0.0, 5.0, size=12))
+    ts[0], ts[-1] = 0.0, 5.0
+    ys = rng.normal(size=(12, 3))
+    if mode == "periodic":
+        ys[-1] = ys[0]
+    return ts, ys
+
+
+def test_spline_modes_vs_scipy():
+    from scipy.interpolate import CubicSpline
+
+    for mode in ("not-a-knot", "natural", "periodic"):
+        ts, ys = _spline_case(mode)
+        sp = Spline(jnp.asarray(ts), jnp.asarray(ys), mode=mode)
+        oracle = CubicSpline(ts, ys, bc_type=mode)
+        tq = np.linspace(0.0, 5.0, 101)
+        for order in (0, 1, 2, 3):
+            got = np.asarray(sp(jnp.asarray(tq), order=order))
+            want = oracle(tq, nu=order)
+            np.testing.assert_allclose(got, want, atol=1e-8, err_msg=f"{mode} d{order}")
+
+
+def test_spline_hermite_vs_scipy():
+    from scipy.interpolate import CubicHermiteSpline
+
+    ts, ys = _spline_case("natural")
+    dydt = np.random.default_rng(8).normal(size=ys.shape)
+    sp = Spline(jnp.asarray(ts), jnp.asarray(ys), dydt=jnp.asarray(dydt))
+    oracle = CubicHermiteSpline(ts, ys, dydt)
+    tq = np.linspace(0.0, 5.0, 73)
+    for order in (0, 1, 2):
+        np.testing.assert_allclose(
+            np.asarray(sp(jnp.asarray(tq), order=order)), oracle(tq, nu=order),
+            atol=1e-8,
+        )
+
+
+def test_spline_extrapolation_and_periodic_wrap():
+    from scipy.interpolate import CubicSpline
+
+    ts, ys = _spline_case("not-a-knot")
+    sp = Spline(jnp.asarray(ts), jnp.asarray(ys))
+    oracle = CubicSpline(ts, ys, bc_type="not-a-knot")
+    tq = np.array([-0.7, -0.1, 5.1, 6.3])  # outside the knot span
+    np.testing.assert_allclose(
+        np.asarray(sp(jnp.asarray(tq))), oracle(tq), atol=1e-7
+    )
+    # Periodic wrap: s(t + period) == s(t)
+    ts, ys = _spline_case("periodic")
+    spp = Spline(jnp.asarray(ts), jnp.asarray(ys), mode="periodic")
+    tq = np.linspace(0.0, 5.0, 31)
+    np.testing.assert_allclose(
+        np.asarray(spp(jnp.asarray(tq + 5.0))),
+        np.asarray(spp(jnp.asarray(tq))),
+        atol=1e-9,
+    )
+
+
+def test_spline_differentiable_and_jittable():
+    import jax
+
+    ts, ys = _spline_case("natural")
+
+    def loss(ys_param, tq):
+        sp = Spline(jnp.asarray(ts), ys_param, mode="natural")
+        return jnp.sum(sp(tq) ** 2)
+
+    g = jax.jit(jax.grad(loss))(jnp.asarray(ys), jnp.asarray([1.1, 2.7]))
+    assert np.isfinite(np.asarray(g)).all() and np.abs(np.asarray(g)).sum() > 0
+    # Gradient matches finite differences
+    eps = 1e-6
+    ys0 = np.array(ys)
+    ys0[4, 1] += eps
+    f1 = float(loss(jnp.asarray(ys0), jnp.asarray([1.1, 2.7])))
+    ys0[4, 1] -= 2 * eps
+    f0 = float(loss(jnp.asarray(ys0), jnp.asarray([1.1, 2.7])))
+    np.testing.assert_allclose(
+        float(np.asarray(g)[4, 1]), (f1 - f0) / (2 * eps), rtol=1e-4
+    )
+
+
+def test_spline_derivative_of_query_time():
+    # d/dt of the spline value via autodiff equals the analytic derivative
+    import jax
+
+    ts, ys = _spline_case("natural")
+    sp = Spline(jnp.asarray(ts), jnp.asarray(ys), mode="natural")
+    t0 = 2.345
+    jac = jax.jacfwd(lambda t: sp(t))(jnp.asarray(t0))
+    np.testing.assert_allclose(
+        np.asarray(jac), np.asarray(sp(jnp.asarray(t0), order=1)), atol=1e-8
+    )

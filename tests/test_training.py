@@ -71,3 +71,31 @@ def test_evaluate_rollout_and_record(tmp_path):
     assert np.isfinite(stats["return"])
     assert len(traj) == stats["length"]
     assert (tmp_path / "roll.gif").exists()
+
+
+def test_evaluate_batch_multi_episode():
+    """Vmapped multi-episode evaluation aggregates mean/std over seeds
+    (reference `evaluate_from_runner`, `rllib/utilities.py:1277-1533`)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from jiminy_tpu.envs import make
+    from jiminy_tpu.rl.evaluate import evaluate_batch
+
+    env = make("pendulum", horizon=12)
+    stats = evaluate_batch(
+        env,
+        lambda obs, key: jnp.zeros(env.action_size),
+        n_episodes=8,
+        n_steps=20,
+        key=jax.random.PRNGKey(0),
+    )
+    eps = stats["episodes"]
+    assert eps["return"].shape == (8,)
+    # horizon=12 truncates every episode at 12 of the 20 scanned steps
+    np.testing.assert_array_equal(eps["length"], 12)
+    assert stats["length_std"] == 0.0
+    np.testing.assert_allclose(stats["return_mean"], eps["return"].mean())
+    # Distinct seeds produce distinct trajectories/returns
+    assert np.unique(eps["return"]).size > 1
