@@ -81,3 +81,62 @@ class GymnasiumEnv(gymnasium.Env):
         img = buf.reshape(h, w, 4)[..., :3].copy()
         plt.close(fig)
         return img
+
+    def play_interactive(
+        self,
+        key_handler=None,
+        input_fn=None,
+        live_dir: Optional[str] = None,
+        max_steps: int = 10_000,
+        serve: bool = True,
+        seed: Optional[int] = None,
+    ) -> dict:
+        """Drive the env interactively: one env step per key press, streamed
+        to a live browser view (reference `BaseJiminyEnv.play_interactive`,
+        `envs/generic.py` — pygame window there, `LiveViewer` HTML page here).
+
+        :param key_handler: `key_str -> action` (ndarray) or None for the
+            zero action; the key "q" always ends the session.
+        :param input_fn: source of key strings; defaults to blocking stdin
+            `input()` (scriptable for tests/automation).
+        :param live_dir: live-session directory (a temp dir by default).
+        :param serve: start a local HTTP server and print the live URL.
+        :returns: stats dict (steps, return, terminated).
+        """
+        import tempfile
+
+        from jiminy_tpu.viewer.live import LiveViewer
+
+        if input_fn is None:
+            input_fn = lambda: input("key (q to quit)> ")  # noqa: E731
+        if live_dir is None:
+            live_dir = tempfile.mkdtemp(prefix="jiminy_live_")
+        base = self.env
+        while hasattr(base, "env"):
+            base = base.env
+        live = LiveViewer(base.robot, live_dir, refresh_every=1)
+        if serve:
+            print(f"live view: {live.serve()}")
+        else:
+            print(f"live session dir: {live_dir} (serve it and open live.html)")
+
+        obs, _ = self.reset(seed=seed)
+        total_reward, steps, terminated = 0.0, 0, False
+        try:
+            for _ in range(max_steps):
+                key = input_fn()
+                if key is None or key == "q":
+                    break
+                action = None if key_handler is None else key_handler(key)
+                if action is None:
+                    action = np.zeros(self.action_space.shape)
+                obs, reward, terminated, truncated, _ = self.step(action)
+                total_reward += reward
+                steps += 1
+                live.push(float(self._state.sim.t), np.asarray(self._state.sim.q))
+                if terminated or truncated:
+                    break
+        finally:
+            live.close()
+        return {"steps": steps, "return": total_reward,
+                "terminated": bool(terminated), "live_dir": live_dir}

@@ -17,9 +17,12 @@ available in a zero-egress TPU pod, so two headless backends are provided:
 
 from jiminy_tpu.viewer.gltf import GltfBuilder, export_gltf, load_glb
 from jiminy_tpu.viewer.html import export_html
+from jiminy_tpu.viewer.live import LiveViewer, LiveWrapper
 from jiminy_tpu.viewer.viewer import Viewer, play_trajectories
 
 __all__ = [
+    "LiveViewer",
+    "LiveWrapper",
     "Viewer",
     "play_trajectories",
     "export_gltf",

@@ -84,11 +84,12 @@ void main(){
  float sp=pow(max(dot(normalize(l1+v),n),0.0),24.0)*0.25;
  gl_FragColor=vec4(uColor.rgb*d+vec3(sp),uColor.a);}`;
 
-function start(glbB64){
- const raw=atob(glbB64);const buf=new ArrayBuffer(raw.length);
+function b64buf(b64){
+ const raw=atob(b64);const buf=new ArrayBuffer(raw.length);
  const u8=new Uint8Array(buf);for(let i=0;i<raw.length;i++)u8[i]=raw.charCodeAt(i);
- const glb=parseGlb(buf),g=glb.json,bin=glb.bin;
+ return buf;}
 
+function start(glbB64){
  const canvas=document.getElementById('view');
  const gl=canvas.getContext('webgl',{antialias:true});
  if(!gl){document.body.innerHTML='WebGL unavailable';return;}
@@ -104,51 +105,70 @@ function start(glbB64){
   uNrm:gl.getUniformLocation(prog,'uNrm'),uColor:gl.getUniformLocation(prog,'uColor'),
   uEye:gl.getUniformLocation(prog,'uEye')};
 
- // Upload meshes
- const meshes=(g.meshes||[]).map(function(mesh){
-  return mesh.primitives.map(function(prim){
-   const pos=accessorArray(g,bin,prim.attributes.POSITION);
-   const nrm=prim.attributes.NORMAL!==undefined?
-     accessorArray(g,bin,prim.attributes.NORMAL):new Float32Array(pos.length);
-   const idx=accessorArray(g,bin,prim.indices);
-   const vboP=gl.createBuffer();gl.bindBuffer(gl.ARRAY_BUFFER,vboP);
-   gl.bufferData(gl.ARRAY_BUFFER,pos,gl.STATIC_DRAW);
-   const vboN=gl.createBuffer();gl.bindBuffer(gl.ARRAY_BUFFER,vboN);
-   gl.bufferData(gl.ARRAY_BUFFER,nrm,gl.STATIC_DRAW);
-   const ibo=gl.createBuffer();gl.bindBuffer(gl.ELEMENT_ARRAY_BUFFER,ibo);
-   const idx32=idx instanceof Uint32Array?idx:new Uint32Array(idx);
-   let type=gl.UNSIGNED_SHORT,idata=idx;
-   if(idx instanceof Uint32Array){
-     if(gl.getExtension('OES_element_index_uint'))type=gl.UNSIGNED_INT;
-     else {idata=new Uint16Array(idx32);type=gl.UNSIGNED_SHORT;}}
-   gl.bufferData(gl.ELEMENT_ARRAY_BUFFER,idata,gl.STATIC_DRAW);
-   let color=[0.6,0.6,0.7,1];
-   if(prim.material!==undefined){
-     const m=g.materials[prim.material];
-     if(m.pbrMetallicRoughness&&m.pbrMetallicRoughness.baseColorFactor)
-       color=m.pbrMetallicRoughness.baseColorFactor;}
-   return {vboP:vboP,vboN:vboN,ibo:ibo,n:idx.length,type:type,color:color};});});
+ // Scene state — replaced wholesale by loadBuffer() so the live mode can
+ // hot-swap the replay while GL context, camera, and UI survive.
+ let meshes=[],nodes=[],roots=[],channels=[],tMax=0,t0=0;
+ let framed=false;
 
- // Nodes + hierarchy
- const nodes=(g.nodes||[]).map(function(nd){return {
-  t:(nd.translation||[0,0,0]).slice(),
-  q:(nd.rotation||[0,0,0,1]).slice(),
-  s:(nd.scale||[1,1,1]).slice(),
-  mesh:nd.mesh,children:nd.children||[],world:m4ident()};});
- const isChild=new Set();nodes.forEach(function(nd){
-  nd.children.forEach(function(c){isChild.add(c);});});
- const roots=[];for(let i=0;i<nodes.length;i++)if(!isChild.has(i))roots.push(i);
+ function loadBuffer(buf,follow){
+  const glb=parseGlb(buf),g=glb.json,bin=glb.bin;
+  meshes.forEach(function(mesh){mesh.forEach(function(pm){
+   gl.deleteBuffer(pm.vboP);gl.deleteBuffer(pm.vboN);gl.deleteBuffer(pm.ibo);});});
 
- // Animation channels
- let tMax=0;const channels=[];
- (g.animations||[]).forEach(function(anim){
-  anim.channels.forEach(function(ch){
-   const smp=anim.samplers[ch.sampler];
-   const tin=accessorArray(g,bin,smp.input);
-   const out=accessorArray(g,bin,smp.output);
-   tMax=Math.max(tMax,tin[tin.length-1]);
-   channels.push({node:ch.target.node,path:ch.target.path,tin:tin,out:out});});});
- const t0=channels.length?channels[0].tin[0]:0;
+  // Upload meshes
+  meshes=(g.meshes||[]).map(function(mesh){
+   return mesh.primitives.map(function(prim){
+    const pos=accessorArray(g,bin,prim.attributes.POSITION);
+    const nrm=prim.attributes.NORMAL!==undefined?
+      accessorArray(g,bin,prim.attributes.NORMAL):new Float32Array(pos.length);
+    const idx=accessorArray(g,bin,prim.indices);
+    const vboP=gl.createBuffer();gl.bindBuffer(gl.ARRAY_BUFFER,vboP);
+    gl.bufferData(gl.ARRAY_BUFFER,pos,gl.STATIC_DRAW);
+    const vboN=gl.createBuffer();gl.bindBuffer(gl.ARRAY_BUFFER,vboN);
+    gl.bufferData(gl.ARRAY_BUFFER,nrm,gl.STATIC_DRAW);
+    const ibo=gl.createBuffer();gl.bindBuffer(gl.ELEMENT_ARRAY_BUFFER,ibo);
+    const idx32=idx instanceof Uint32Array?idx:new Uint32Array(idx);
+    let type=gl.UNSIGNED_SHORT,idata=idx;
+    if(idx instanceof Uint32Array){
+      if(gl.getExtension('OES_element_index_uint'))type=gl.UNSIGNED_INT;
+      else {idata=new Uint16Array(idx32);type=gl.UNSIGNED_SHORT;}}
+    gl.bufferData(gl.ELEMENT_ARRAY_BUFFER,idata,gl.STATIC_DRAW);
+    let color=[0.6,0.6,0.7,1];
+    if(prim.material!==undefined){
+      const m=g.materials[prim.material];
+      if(m.pbrMetallicRoughness&&m.pbrMetallicRoughness.baseColorFactor)
+        color=m.pbrMetallicRoughness.baseColorFactor;}
+    return {vboP:vboP,vboN:vboN,ibo:ibo,n:idx.length,type:type,color:color};});});
+
+  // Nodes + hierarchy
+  nodes=(g.nodes||[]).map(function(nd){return {
+   t:(nd.translation||[0,0,0]).slice(),
+   q:(nd.rotation||[0,0,0,1]).slice(),
+   s:(nd.scale||[1,1,1]).slice(),
+   mesh:nd.mesh,children:nd.children||[],world:m4ident()};});
+  const isChild=new Set();nodes.forEach(function(nd){
+   nd.children.forEach(function(c){isChild.add(c);});});
+  roots=[];for(let i=0;i<nodes.length;i++)if(!isChild.has(i))roots.push(i);
+
+  // Animation channels
+  tMax=0;channels=[];
+  (g.animations||[]).forEach(function(anim){
+   anim.channels.forEach(function(ch){
+    const smp=anim.samplers[ch.sampler];
+    const tin=accessorArray(g,bin,smp.input);
+    const out=accessorArray(g,bin,smp.output);
+    tMax=Math.max(tMax,tin[tin.length-1]);
+    channels.push({node:ch.target.node,path:ch.target.path,tin:tin,out:out});});});
+  t0=channels.length?channels[0].tin[0]:0;
+
+  if(!framed){frameCamera();framed=true;}
+  if(slider){slider.max=Math.max(tMax-t0,0.0001);}
+  if(follow){tCur=tMax;playing=true;if(btn)btn.textContent='❚❚';}
+  else if(tCur<t0||tCur>tMax){tCur=t0;}
+ }
+ window.__loadGlb=function(b64OrBuf,follow){
+  loadBuffer(typeof b64OrBuf==='string'?b64buf(b64OrBuf):b64OrBuf,follow);};
+ window.__timeline=function(){return {t:tCur,tMax:tMax,t0:t0};};
 
  function sample(ch,t){
   const tin=ch.tin;let lo=0,hi=tin.length-1;
@@ -166,17 +186,17 @@ function start(glbB64){
   } else for(let i=0;i<k;i++)o[i]=a[i]*(1-u)+b[i]*u;
   return o;}
 
- // Scene bounds for camera framing (node translations + mesh extents)
+ // Orbit camera state (Z-up, matching the simulator's world frame)
  let span=1,ctr=[0,0,0.3];
- (function(){
+ let az=0.9,el=0.35,dist=span*2.6,pan=[ctr[0],ctr[1],ctr[2]];
+ function frameCamera(){
+  // Scene bounds for camera framing (node translations + mesh extents)
   let mn=[1e9,1e9,1e9],mx=[-1e9,-1e9,-1e9],any=false;
   nodes.forEach(function(nd){if(nd.mesh===undefined)return;any=true;
    for(let i=0;i<3;i++){mn[i]=Math.min(mn[i],nd.t[i]);mx[i]=Math.max(mx[i],nd.t[i]);}});
   if(any){ctr=[(mn[0]+mx[0])/2,(mn[1]+mx[1])/2,(mn[2]+mx[2])/2];
-   span=Math.max(mx[0]-mn[0],mx[1]-mn[1],mx[2]-mn[2],0.6);}})();
-
- // Orbit camera state (Z-up, matching the simulator's world frame)
- let az=0.9,el=0.35,dist=span*2.6,pan=[ctr[0],ctr[1],ctr[2]];
+   span=Math.max(mx[0]-mn[0],mx[1]-mn[1],mx[2]-mn[2],0.6);}
+  dist=span*2.6;pan=[ctr[0],ctr[1],ctr[2]];}
  canvas.addEventListener('contextmenu',function(e){e.preventDefault();});
  let drag=null;
  canvas.addEventListener('mousedown',function(e){drag={x:e.clientX,y:e.clientY,b:e.button,shift:e.shiftKey};});
@@ -198,19 +218,22 @@ function start(glbB64){
  // Timeline UI
  const slider=document.getElementById('time'),btn=document.getElementById('play'),
   lbl=document.getElementById('tlabel'),speedSel=document.getElementById('speed');
- slider.max=Math.max(tMax-t0,0.0001);
- let playing=tMax>t0,tCur=t0,last=null;
- btn.textContent=playing?'❚❚':'▶';
+ let playing=true,tCur=0,last=null;
  btn.onclick=function(){playing=!playing;btn.textContent=playing?'❚❚':'▶';last=null;};
  slider.oninput=function(){tCur=t0+parseFloat(slider.value);playing=false;
   btn.textContent='▶';};
+
+ loadBuffer(b64buf(glbB64),false);
+ playing=tMax>t0;tCur=t0;
+ btn.textContent=playing?'❚❚':'▶';
 
  function draw(now){
   requestAnimationFrame(draw);
   if(playing&&tMax>t0){
    if(last!==null)tCur+=(now-last)/1000*parseFloat(speedSel.value);
    last=now;
-   if(tCur>tMax)tCur=t0+(tCur-t0)%(tMax-t0);
+   if(tCur>tMax){if(window.__liveFollow)tCur=tMax;
+    else tCur=t0+(tCur-t0)%(tMax-t0);}
   } else last=now;
   slider.value=(tCur-t0).toFixed(4);
   lbl.textContent=tCur.toFixed(2)+' / '+tMax.toFixed(2)+' s';
