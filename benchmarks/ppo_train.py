@@ -37,7 +37,23 @@ def main():
     ap.add_argument("--pallas", type=int, default=1024)
     ap.add_argument("--contact", default="",
                     help="override contact model, e.g. 'constraint'")
+    ap.add_argument("--multihost", action="store_true",
+                    help="join a jax.distributed cluster (configure via "
+                         "JIMINY_COORDINATOR / JIMINY_NUM_PROCESSES / "
+                         "JIMINY_PROCESS_ID, or TPU-pod auto-detection) and "
+                         "run the training step over the global mesh — the "
+                         "role of the reference's Ray `initialize` "
+                         "(rllib/utilities.py:305)")
     args = ap.parse_args()
+
+    mesh = None
+    if args.multihost:
+        from jiminy_tpu import parallel
+
+        parallel.initialize()
+        mesh = parallel.global_mesh()
+        print(f"# process {parallel.process_index()}/{parallel.process_count()}"
+              f" — {len(jax.devices())} global devices", file=sys.stderr)
 
     from jiminy_tpu.envs import make
     from jiminy_tpu.gym import FlattenObservation
@@ -73,7 +89,7 @@ def main():
         total_iterations=args.iters,
         vectorization="batched" if args.pallas else "vmap",
     )
-    init_fn, train_step = make_train(env, cfg)
+    init_fn, train_step = make_train(env, cfg, mesh=mesh)
     state = init_fn(jax.random.PRNGKey(0))
     step = jax.jit(train_step, donate_argnums=0)
     state, metrics = step(state)  # compile + warm up
@@ -86,12 +102,15 @@ def main():
     elapsed = time.perf_counter() - t0
 
     env_steps = args.envs * args.steps * args.iters
-    print(json.dumps({
-        "metric": "ppo_train_env_steps_per_sec_per_chip_" + args.env.replace("-", "_"),
-        "value": round(env_steps / elapsed, 1),
-        "unit": "env-steps/s (full PPO loop)",
-        "loss": float(metrics["loss"]),
-    }))
+    if mesh is None or jax.process_index() == 0:
+        suffix = "" if mesh is None else f"_x{jax.process_count()}hosts"
+        print(json.dumps({
+            "metric": "ppo_train_env_steps_per_sec_per_chip_"
+            + args.env.replace("-", "_") + suffix,
+            "value": round(env_steps / elapsed, 1),
+            "unit": "env-steps/s (full PPO loop)",
+            "loss": float(metrics["loss"]),
+        }))
 
 
 if __name__ == "__main__":

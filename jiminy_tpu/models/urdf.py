@@ -7,8 +7,12 @@ the supporting movable link, parallel-axis transformed), and records operational
 frames for every link and fixed joint so contact points / sensors can attach by name.
 
 Only the joint types the reference robots use are supported: revolute, continuous,
-prismatic, fixed, floating.  Meshes/visuals are ignored (collision in the engine is
-point-contact + analytic heightmap, like the reference's default ground pipeline).
+prismatic, fixed, floating.  `<visual>` geometries (primitives and OBJ/STL meshes)
+are parsed into `RobotModel.visual_geoms` for the glTF/HTML viewer
+(`viewer/gltf.py`); `<collision>` meshes can be reduced to oriented-bounding-box
+corner contact points (`oriented_bounding_box`), mirroring the reference's
+`avoid_instable_collisions` asset pipeline, while the engine's runtime narrow
+phase handles primitives exactly (box/sphere/capsule SAT in `engine/contact.py`).
 """
 
 from __future__ import annotations

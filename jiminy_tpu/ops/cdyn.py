@@ -12,7 +12,8 @@ it is also the exact layout a Pallas kernel would use, so kernels can later be
 carved out without changing the math.
 
 Supported models (checked by `supports_model`): fixed base or FREE root joint,
-all other joints 1-dof REVOLUTE/PRISMATIC.  Semantics match `ops.dynamics.aba`
+all other joints REVOLUTE/PRISMATIC (1-dof) or SPHERICAL (3-dof, used by the
+flexibility-joint surgery).  Semantics match `ops.dynamics.aba`
 + `engine.contact` bit-for-bit at matched precision (validated in
 tests/test_cdyn.py); reference: `pinocchio_overload_algorithms.h` (ABA with
 armature), `engine.cc:3117-3238` (spring-damper contact).

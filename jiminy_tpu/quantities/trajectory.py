@@ -48,6 +48,7 @@ class TrajectoryDataset:
 
     def add(self, name: str, trajectory) -> None:
         self._trajs[name] = ReferenceTrajectory(trajectory, self.step_dt)
+        self._stack_cache = None
         if self._selected is None:
             self._selected = name
 
@@ -62,8 +63,55 @@ class TrajectoryDataset:
             raise RuntimeError("no reference trajectory registered")
         return self._trajs[self._selected]
 
-    def state_at(self, t):
-        return self.selected.state_at(t)
+    def __len__(self) -> int:
+        return len(self._trajs)
+
+    def __iter__(self):
+        return iter(self._trajs)
+
+    def state_at(self, t, index=None):
+        """(q_ref, v_ref) at time t — from the host-`select`ed trajectory, or,
+        when `index` (a traced int) is given, gathered from the stacked bank
+        of ALL trajectories (per-episode trajectory tasks; role of the
+        reference's `TrajectorySettableJiminyEnv.set_task`,
+        `toolbox/wrappers/meta_envs.py:424`)."""
+        if index is None:
+            return self.selected.state_at(t)
+        qs, vs, ns = self._stacked()
+        n_max = qs.shape[1]
+        step = jnp.clip(
+            jnp.round(t / self.step_dt).astype(jnp.int32), 0,
+            jnp.take(ns, index) - 1,
+        )
+        flat = index * n_max + step
+        q = jnp.take(qs.reshape((-1,) + qs.shape[2:]), flat, axis=0)
+        v = (
+            jnp.take(vs.reshape((-1,) + vs.shape[2:]), flat, axis=0)
+            if vs is not None else None
+        )
+        return q, v
+
+    def _stacked(self):
+        """Padded (K, Tmax, nq)/(K, Tmax, nv) bank + per-trajectory lengths
+        (built lazily, cached; edge-padded so clamping stays in-trajectory)."""
+        if getattr(self, "_stack_cache", None) is None:
+            trajs = list(self._trajs.values())
+            n_max = max(tr.n for tr in trajs)
+
+            def pad(arr):
+                a = np.asarray(arr)
+                return np.concatenate(
+                    [a, np.repeat(a[-1:], n_max - len(a), axis=0)], axis=0
+                )
+
+            # Cache host numpy (NOT jnp): building device constants inside a
+            # jit trace and caching them would leak tracers across traces.
+            qs = np.stack([pad(tr.qs) for tr in trajs])
+            has_v = all(tr.vs is not None for tr in trajs)
+            vs = np.stack([pad(tr.vs) for tr in trajs]) if has_v else None
+            ns = np.array([tr.n for tr in trajs], np.int32)
+            self._stack_cache = (qs, vs, ns)
+        return self._stack_cache
 
 
 class ReferenceQuantity(Quantity):
@@ -74,23 +122,31 @@ class ReferenceQuantity(Quantity):
     from the dataset; quantities reading only q/v/t (frame kinematics, CoM,
     odometry...) work unchanged."""
 
-    def __init__(self, inner: Quantity, dataset: TrajectoryDataset):
+    def __init__(self, inner: Quantity, dataset: TrajectoryDataset,
+                 task_indexed: bool = False):
         self.inner = inner
         self.dataset = dataset
+        # When True, the reference trajectory follows the per-episode task
+        # index carried in `state.blocks['task']` (trajectory-as-task envs,
+        # `toolbox.meta_envs.TrajectorySettableWrapper`).
+        self.task_indexed = task_indexed
 
     def __call__(self, env, state):
-        q_ref, v_ref = self.dataset.state_at(state.sim.t)
+        index = state.blocks["task"] if self.task_indexed else None
+        q_ref, v_ref = self.dataset.state_at(state.sim.t, index)
         sim_ref = state.sim.replace(
             q=q_ref, v=v_ref if v_ref is not None else jnp.zeros_like(state.sim.v)
         )
         return self.inner(env, state.replace(sim=sim_ref))
 
 
-def make_tracking_target(quantity: Quantity, dataset: TrajectoryDataset):
+def make_tracking_target(quantity: Quantity, dataset: TrajectoryDataset,
+                         task_indexed: bool = False):
     """Target callable for `TrackingQuantityReward`: the quantity evaluated on
     the reference trajectory (completing the reference's tracking-reward
-    semantics, `compositions/generic.py:64`)."""
-    ref = ReferenceQuantity(quantity, dataset)
+    semantics, `compositions/generic.py:64`).  With `task_indexed=True` the
+    trajectory follows the episode's task index (trajectory-as-task envs)."""
+    ref = ReferenceQuantity(quantity, dataset, task_indexed=task_indexed)
     return lambda env, state: ref(env, state)
 
 

@@ -11,6 +11,7 @@ from jiminy_tpu.toolbox.meta_envs import (
     TaskSettableEnv,
     TaskSettableWrapper,
     TaskSpace,
+    TrajectorySettableWrapper,
 )
 
 __all__ = [
@@ -22,4 +23,5 @@ __all__ = [
     "TaskSettableEnv",
     "TaskSettableWrapper",
     "TaskSpace",
+    "TrajectorySettableWrapper",
 ]

@@ -210,3 +210,35 @@ class TaskSettableEnv(_Wrapper):
 
     def reset(self, key):
         return self.env.reset(key)
+
+
+class TrajectorySettableWrapper(TaskSettableWrapper):
+    """Expose the reference trajectories of a `TrajectoryDataset` as the flat
+    tasks of a task-settable env (reference `TrajectorySettableJiminyEnv`,
+    `toolbox/wrappers/meta_envs.py:364`): each episode samples one trajectory
+    index, and `ReferenceQuantity(..., task_indexed=True)` / tracking targets
+    built with `make_tracking_target(..., task_indexed=True)` read the
+    matching trajectory from the stacked device bank inside jit — the
+    jit-native form of the reference's host-side
+    `trajectory_dataset.select(name)` per episode."""
+
+    def __init__(self, env, dataset, augment_observation: bool = True,
+                 initial_probs=None):
+        if len(dataset) == 0:
+            raise RuntimeError(
+                "the trajectory dataset must hold at least one trajectory "
+                "before wrapping (reference meta_envs.py:398 lock check)"
+            )
+        self.dataset = dataset
+        self.trajectory_names = tuple(dataset)
+        super().__init__(
+            env,
+            TaskSpace((len(dataset),)),
+            apply_task=None,
+            augment_observation=augment_observation,
+            initial_probs=initial_probs,
+        )
+
+    def trajectory_state(self, state):
+        """(q_ref, v_ref) of the episode's trajectory at the current time."""
+        return self.dataset.state_at(state.sim.t, state.blocks["task"])

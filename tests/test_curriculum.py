@@ -5,6 +5,7 @@ training (reference `toolbox/wrappers/meta_envs.py:27-364` +
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from jiminy_tpu.envs import make
 from jiminy_tpu.gym import ComposedEnv, FlattenObservation
@@ -129,3 +130,83 @@ def test_curriculum_training_shifts_probabilities():
     assert tasks.shape == (16,)
     # After 3 iterations of heavily-skewed sampling most envs run task 1
     assert (tasks == 1).sum() >= (tasks == 0).sum()
+
+
+@pytest.mark.slow
+def test_anymal_velocity_curriculum_example():
+    """The ANYmal velocity-command curriculum example trains with the real
+    robot and measurably shifts the task sampling probabilities (VERDICT r5
+    item 3 'Done' criterion)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "anymal_curriculum",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "examples", "anymal_curriculum.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    env, space = mod.build_env(horizon=8)
+    cur = TaskCurriculum(space, softmin_beta=4.0, history_length=50)
+    config = PPOConfig(n_envs=8, n_steps=16, n_epochs=1, n_minibatches=1,
+                       total_iterations=2, hidden=(16, 16))
+    init_fn, train_step = make_train(env, config, curriculum=cur)
+    state = init_fn(jax.random.PRNGKey(0))
+    p0 = np.asarray(state.task_probs)
+    step = jax.jit(train_step)
+    for _ in range(2):
+        state, metrics = step(state)
+    p = np.asarray(state.task_probs)
+    np.testing.assert_allclose(p.sum(), 1.0, atol=1e-5)
+    # Episodes finished (horizon 8 < 16 rollout steps), so scores arrived and
+    # the probabilities moved off the uniform prior.
+    assert float(np.abs(p - p0).max()) > 1e-4, (p0, p)
+    assert "task_entropy" in metrics
+
+
+def test_trajectory_settable_wrapper_indexed_lookup():
+    """Trajectories-as-tasks: per-episode trajectory index selects the
+    reference trajectory inside jit (reference `TrajectorySettableJiminyEnv`,
+    `toolbox/wrappers/meta_envs.py:364`)."""
+    from jiminy_tpu.quantities.trajectory import (
+        ReferenceQuantity,
+        TrajectoryDataset,
+    )
+    from jiminy_tpu.telemetry.trajectory import Trajectory
+    from jiminy_tpu.toolbox import TrajectorySettableWrapper
+
+    env = make("pendulum", horizon=8)
+    times = np.linspace(0.0, 1.0, 51)
+    ds = TrajectoryDataset(step_dt=env.step_dt)
+    qa = np.sin(times)[:, None]
+    qb = 2.0 + 0.0 * times[:, None]
+    ds.add("swing", Trajectory(times=times, qs=qa, vs=np.cos(times)[:, None]))
+    ds.add("hold", Trajectory(times=times, qs=qb, vs=0.0 * times[:, None]))
+
+    wrapped = TrajectorySettableWrapper(env, ds)
+    assert wrapped.task_space.num_tasks == 2
+    assert wrapped.trajectory_names == ("swing", "hold")
+
+    class RefQ:
+        def __call__(self, env_, state):
+            return state.sim.q
+
+    ref = ReferenceQuantity(RefQ(), ds, task_indexed=True)
+
+    st, obs = wrapped.reset(jax.random.PRNGKey(0))
+    assert obs["task"].shape == (2,)
+    # Force each task and check the indexed reference lookup matches the
+    # matching trajectory at the current time
+    for idx, bank in ((0, qa), (1, qb)):
+        sti = wrapped.set_task_state(st, jnp.asarray(idx))
+        got = float(jax.jit(lambda s: ref(wrapped, s))(sti)[0])
+        step_i = int(round(float(sti.sim.t) / env.step_dt))
+        np.testing.assert_allclose(got, bank[min(step_i, 50), 0], atol=1e-12)
+    # Clamped beyond the trajectory end
+    st_late = st.replace(sim=st.sim.replace(t=jnp.asarray(99.0)))
+    st_late = wrapped.set_task_state(st_late, jnp.asarray(0))
+    np.testing.assert_allclose(
+        float(ref(wrapped, st_late)[0]), qa[-1, 0], atol=1e-12
+    )

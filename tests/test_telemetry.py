@@ -117,3 +117,33 @@ def test_trajectory_interpolation(tmp_path):
     assert min(q_lo[0], q_hi[0]) - 1e-12 <= s.q[0] <= max(q_lo[0], q_hi[0]) + 1e-12
     res = traj.resample(np.linspace(traj.times[0], traj.times[-1], 11))
     assert res.qs.shape == (11, 1)
+
+
+def test_tabbed_figure_interactive_api(tmp_path):
+    """Reference-style TabbedFigure: add/select/remove tabs in ONE window
+    with a button row, refresh_data in place (reference `jiminy_py/plot.py:162`)."""
+    import numpy as np
+
+    from jiminy_tpu.plot import TabbedFigure
+
+    t = np.linspace(0.0, 1.0, 50)
+    fig = TabbedFigure(offscreen=True)
+    fig.add_tab("A", t, {"sin": np.sin(t), "cos": np.cos(t)})
+    fig.add_tab("B", t, {"lin": t, "sq": t**2, "cube": t**3})
+    assert fig.tabs == ["A", "B"] and fig.active_tab == "A"
+    assert len(fig._buttons) == 2  # clickable tab row exists
+
+    fig.select_tab("B")
+    assert fig.active_tab == "B"
+    # One subplot per variable on the active tab
+    assert len(fig._content_axes()) == 3
+
+    fig.refresh_data("B", t, {"lin": 2 * t, "sq": t, "cube": t})
+    p1 = fig.save_tab(str(tmp_path / "b.png"))
+    assert (tmp_path / "b.png").exists()
+
+    fig.remove_tab("B")
+    assert fig.tabs == ["A"] and fig.active_tab == "A"
+    paths = fig.save_all(str(tmp_path / "fig"))
+    assert all(__import__("os").path.exists(p) for p in paths)
+    fig.close()
