@@ -51,11 +51,22 @@ def initialize(
     if local_device_count is None and "JIMINY_LOCAL_DEVICES" in os.environ:
         local_device_count = int(os.environ["JIMINY_LOCAL_DEVICES"])
 
-    if coordinator_address is None and (num_processes or 1) <= 1:
-        # Single process: nothing to initialize; TPU pod slices with an
-        # ambient coordinator (JAX_COORDINATOR_ADDRESS) still auto-join below.
-        if "JAX_COORDINATOR_ADDRESS" not in os.environ:
+    if (
+        coordinator_address is None
+        and num_processes is None
+        and process_id is None
+        and "JAX_COORDINATOR_ADDRESS" not in os.environ
+    ):
+        # No explicit cluster configuration: rely on the runtime's own
+        # auto-detection (TPU pod metadata, Cloud/SLURM env) — that lives
+        # INSIDE jax.distributed.initialize, so it must be attempted, not
+        # skipped.  A plain single host has no cluster context and raises;
+        # that is the single-process fallback.
+        try:
+            jax.distributed.initialize()
+        except Exception:
             return False
+        return jax.process_count() > 1
 
     # NOTE: must not touch the XLA backend before jax.distributed.initialize
     # (so no jax.devices()/default_backend() here) — sniff the platform from

@@ -110,6 +110,7 @@ class TabbedFigure:
         if name in self._tabs:
             raise ValueError(f"duplicate tab {name!r}")
         n = max(len(data), 1)
+        auto_grid = nrows is None and ncols is None
         if ncols is None:
             ncols = math.ceil(math.sqrt(n))
         if nrows is None:
@@ -118,6 +119,8 @@ class TabbedFigure:
             "time": np.asarray(time),
             "data": {k: np.asarray(v) for k, v in data.items()},
             "grid": (nrows, ncols),
+            "auto_grid": auto_grid,
+            "n_curves": n,
             "xlim": None,
         }
         self._rebuild_buttons()
@@ -145,6 +148,12 @@ class TabbedFigure:
         tab = self._tabs[name]
         tab["time"] = np.asarray(time)
         tab["data"] = {k: np.asarray(v) for k, v in data.items()}
+        # Re-fit an auto-computed subplot grid when the curve count changed
+        n = max(len(tab["data"]), 1)
+        if tab.get("auto_grid", True) and n != tab.get("n_curves", n):
+            ncols = math.ceil(math.sqrt(n))
+            tab["grid"] = (math.ceil(n / ncols), ncols)
+        tab["n_curves"] = n
         if self.active_tab == name:
             self._draw_tab(name)
 

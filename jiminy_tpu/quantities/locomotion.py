@@ -149,7 +149,10 @@ class BaseSpatialAverageVelocity(Quantity):
     `quantities/locomotion.py:223`).  Falls back to the instantaneous local
     velocity (same odometry-frame alignment) when no carry is attached."""
 
-    _CARRY = "_xyzquat::base"
+    # Distinct namespace from _DifferenceFrameXYZQuat's f"_xyzquat::{frame}"
+    # keys: a robot may legitimately have a frame named "base", and the two
+    # specs snapshot different poses (raw q[0:7] vs FK of that frame).
+    _CARRY = "_xyzquat::__floating_base__"
 
     def carries(self):
         from jiminy_tpu.quantities.generic import Quantity as _Q

@@ -253,7 +253,29 @@ def make_train(
                     shape=done.shape,
                 )
                 idx = jnp.where(done, new_idx, env_state.blocks["task"])
-                env_state = task_wrapper.set_task_state(env_state, idx)
+                with_idx = env_state.replace(
+                    blocks={**env_state.blocks,
+                            "task": jnp.asarray(idx, jnp.int32)}
+                )
+                if task_wrapper.apply_task is not None:
+                    # Apply the task transform ONLY to freshly-reset envs —
+                    # in-flight episodes must not have it re-applied.
+                    applied = task_wrapper.apply_task(
+                        task_wrapper.env, with_idx, idx
+                    )
+
+                    def _sel(a, b):
+                        d = done.reshape(
+                            done.shape + (1,) * (a.ndim - done.ndim)
+                        )
+                        return jnp.where(d, a, b)
+
+                    env_state = jax.tree.map(_sel, applied, with_idx)
+                else:
+                    env_state = with_idx
+                # The reset obs still encodes the task sampled by the
+                # wrapper's own reset; rebuild it for the resampled tasks.
+                next_obs = flat_obs(env.observe(env_state))
                 data["task"] = task_before
             return (env_state, next_obs, key, ep_ret, ep_len), data
 

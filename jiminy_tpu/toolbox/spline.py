@@ -16,6 +16,7 @@ the solve, replacing the reference's hand-written banded-solver backward).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 _MODES = ("not-a-knot", "natural", "periodic")
@@ -120,6 +121,20 @@ class Spline:
         ys = jnp.asarray(ys)
         if ys.ndim == 1:
             ys = ys[:, None]
+        if mode == "periodic" and dydt is None:
+            # Same guard as scipy CubicSpline(bc_type="periodic") — a
+            # mismatched endpoint would silently build a discontinuous
+            # interpolant.  Only checkable on concrete (non-traced) values.
+            try:
+                closed = bool(jnp.allclose(ys[0], ys[-1], atol=1e-9))
+            except jax.errors.TracerBoolConversionError:
+                closed = True
+            if not closed:
+                raise ValueError(
+                    "periodic spline requires ys[-1] == ys[0] (unclosed "
+                    "cycle; max endpoint gap "
+                    f"{float(jnp.max(jnp.abs(ys[0] - ys[-1]))):.3g})"
+                )
         self.ts = ts
         self.ys = ys
         self.mode = mode

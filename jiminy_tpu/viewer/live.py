@@ -89,8 +89,13 @@ class LiveViewer:
 
         if self._times:
             times = np.asarray(self._times)
+            qs_all = np.asarray(self._qs)
+            # Defensive time ordering (an unordered producer must not corrupt
+            # the exported animation)
+            order = np.argsort(times, kind="stable")
+            times, qs_all = times[order], qs_all[order]
             keep = times >= times[-1] - self.window
-            times, qs = times[keep], np.asarray(self._qs)[keep]
+            times, qs = times[keep], qs_all[keep]
             # Drop frames older than the window from the buffer too
             self._times = list(times)
             self._qs = list(qs)
@@ -169,6 +174,14 @@ class LiveWrapper:
 
     The callback is ordered and cheap (two small host arrays per tap); use
     `every > 1` to thin the stream when stepping fast.
+
+    .. note::
+        Live viewing follows ONE simulation: wrap a single (unbatched) env.
+        Ordered io_callbacks cannot be vmapped, so this wrapper intentionally
+        sits outside the batch-transparency convention — for batched
+        training, watch a separate single-env evaluation rollout instead
+        (mirroring the reference, whose live Viewer also attaches to one
+        simulation at a time, `viewer/viewer.py:436`).
     """
 
     def __init__(self, env, live: LiveViewer, every: int = 1):
