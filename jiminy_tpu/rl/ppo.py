@@ -56,6 +56,12 @@ class PPOConfig:
     caps_spatial_reg: float = 0.0
     caps_global_reg: float = 0.0
     spatial_noise_std: float = 0.1
+    # Temporal barrier (reference `ppo.py:664-675`): exponential penalty once
+    # the per-dim successive-action delta exceeds `temporal_barrier_threshold`
+    # — a hard wall on action jerk where CAPS-temporal is a soft spring.
+    temporal_barrier_reg: float = 0.0
+    temporal_barrier_scale: float = 10.0
+    temporal_barrier_threshold: float = float("inf")
     # SGLD-style adversarial spatial noise (reference `ppo.py:71`): refine the
     # gaussian perturbation with `spatial_sgld_steps` signed-gradient-ascent
     # steps maximizing the policy change before penalizing it.
@@ -326,11 +332,21 @@ def make_train(
         total = pg_loss + config.vf_coef * vf_loss - config.ent_coef * ent
 
         # ---- CAPS regularizers (reference rllib/ppo.py:207-325) ----
-        if config.caps_temporal_reg > 0.0:
+        if config.caps_temporal_reg > 0.0 or config.temporal_barrier_reg > 0.0:
             mean_next, _, _ = network.apply(params, batch["next_obs"])
-            total = total + config.caps_temporal_reg * jnp.mean(
-                jnp.sum((mean - mean_next) ** 2, axis=-1)
-            )
+            # Per-dim successive action-mean delta (reference `ppo.py:648`)
+            action_delta = jnp.abs(mean_next - mean)
+            if config.caps_temporal_reg > 0.0:
+                total = total + config.caps_temporal_reg * jnp.mean(action_delta)
+            if config.temporal_barrier_reg > 0.0:
+                # exp(clip(scale*(delta - thr), 0, 5)) - 1 (reference
+                # `ppo.py:667-670`)
+                barrier = jnp.exp(jnp.clip(
+                    config.temporal_barrier_scale
+                    * (action_delta - config.temporal_barrier_threshold),
+                    0.0, 5.0,
+                )) - 1.0
+                total = total + config.temporal_barrier_reg * jnp.mean(barrier)
         if config.caps_spatial_reg > 0.0:
             noise = config.spatial_noise_std * jax.random.normal(
                 key, batch["obs"].shape, batch["obs"].dtype
@@ -526,8 +542,12 @@ def train(
     )
     state = init_fn(key)
     step = jax.jit(train_step)
+    # Multi-controller: every process runs the same program, but host-side
+    # logging/checkpointing belongs to process 0 only (the reference's Ray
+    # driver role).
+    is_primary = jax.process_index() == 0
     metrics_file = None
-    if log_dir is not None:
+    if log_dir is not None and is_primary:
         import os
 
         os.makedirs(log_dir, exist_ok=True)

@@ -72,3 +72,36 @@ def test_data_parallel_ppo_train_step():
     # Parameters stayed replicated across all devices after the update
     leaf = jax.tree.leaves(state.params)[0]
     assert len(leaf.sharding.device_set) == 8
+
+
+def test_sharded_curriculum_train_step():
+    """Curriculum training shards over the data mesh: per-env task indices
+    ride the sharded env state, node stats/probabilities stay replicated."""
+    import jax.numpy as jnp
+
+    from jiminy_tpu.gym import ComposedEnv
+    from jiminy_tpu.rl import PPOConfig, TaskCurriculum, make_train
+    from jiminy_tpu.toolbox import TaskSettableWrapper, TaskSpace
+
+    mesh = _mesh()
+    env = make("pendulum", horizon=4)
+    ts = TaskSpace(((2, 1),))
+    wrapped = TaskSettableWrapper(env, ts)
+
+    def reward_fn(env_, prev, action, state):
+        return jnp.where(state.blocks["task"] == 0, 1.0, 0.0)
+
+    cenv = FlattenObservation(ComposedEnv(wrapped, reward=reward_fn))
+    cur = TaskCurriculum(ts, softmin_beta=2.0, history_length=20)
+    config = PPOConfig(n_envs=16, n_steps=8, n_epochs=1, n_minibatches=1,
+                       total_iterations=1, hidden=(8, 8))
+    init_fn, train_step = make_train(cenv, config, mesh=mesh, curriculum=cur)
+    state = init_fn(jax.random.PRNGKey(0))
+    state, metrics = jax.jit(train_step)(state)
+    # Task indices shard with the env batch over all 8 devices
+    tasks = state.env_state.blocks["task"]
+    assert tasks.shape == (16,)
+    assert len(tasks.sharding.device_set) == 8
+    probs = np.asarray(state.task_probs)
+    np.testing.assert_allclose(probs.sum(), 1.0, atol=1e-5)
+    assert np.isfinite(float(metrics["task_entropy"]))

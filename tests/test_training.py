@@ -99,3 +99,34 @@ def test_evaluate_batch_multi_episode():
     np.testing.assert_allclose(stats["return_mean"], eps["return"].mean())
     # Distinct seeds produce distinct trajectories/returns
     assert np.unique(eps["return"]).size > 1
+
+
+def test_temporal_barrier_regularizer():
+    """Temporal barrier: exponential wall on successive-action deltas beyond a
+    threshold (reference `rllib/ppo.py:664-675`); zero when under threshold."""
+    import jax
+    import jax.numpy as jnp
+
+    from jiminy_tpu.envs import make
+    from jiminy_tpu.gym import FlattenObservation
+    from jiminy_tpu.rl import PPOConfig, make_train
+
+    env = FlattenObservation(make("pendulum", horizon=8))
+    base = dict(n_envs=4, n_steps=8, n_epochs=1, n_minibatches=1,
+                total_iterations=1, hidden=(8, 8))
+    # Huge threshold: barrier contributes exactly 0 -> same loss as without
+    cfgs = [
+        PPOConfig(**base),
+        PPOConfig(temporal_barrier_reg=1.0,
+                  temporal_barrier_threshold=1e9, **base),
+        PPOConfig(temporal_barrier_reg=1.0, temporal_barrier_threshold=0.0,
+                  temporal_barrier_scale=10.0, **base),
+    ]
+    losses = []
+    for cfg in cfgs:
+        init_fn, train_step = make_train(env, cfg)
+        state = init_fn(jax.random.PRNGKey(0))
+        _, metrics = jax.jit(train_step)(state)
+        losses.append(float(metrics["loss"]))
+    assert abs(losses[0] - losses[1]) < 1e-9  # inactive barrier is exact zero
+    assert losses[2] > losses[1] + 1e-6  # zero threshold penalizes any delta
