@@ -26,10 +26,11 @@ REFERENCE_STEPS_PER_SEC = 3650.0  # pipeline_benchmark.py:46 (1 env, 1 CPU core)
 
 
 def main():
-    # Default sized from the measured v5e throughput curve: 8192 -> 1.63M,
-    # 16384 -> 1.64M, 32768 -> 1.90M, 65536 -> 1.98M env-steps/s (fused
-    # whole-env-step rollout, tile 1024).
-    batch = int(os.environ.get("BENCH_BATCH", "65536"))
+    # Default sized from the measured v5e throughput curve on the real-URDF
+    # ANYmal (round 5): 8192 -> 1.54M, 16384 -> 1.72M, 32768 -> 1.82M,
+    # 65536 -> 1.87M, 131072 -> 1.89M env-steps/s (fused whole-env-step
+    # rollout, tile 1024).
+    batch = int(os.environ.get("BENCH_BATCH", "131072"))
     n_steps = int(os.environ.get("BENCH_STEPS", "25"))
     env_name = os.environ.get("BENCH_ENV", "anymal-pid")
 

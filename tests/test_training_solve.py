@@ -51,8 +51,10 @@ def _greedy_lengths(env_name, state, cfg, n_seeds=5, max_t=500):
 @pytest.mark.slow
 def test_ppo_solves_acrobot():
     """Acrobot swing-up solved within 144k steps: the greedy policy reaches
-    the half-height target on most eval seeds (measured: 4/5 seeds in 77-115
-    steps at seed 42)."""
+    the half-height target on >=4 of 5 eval seeds (round-5 record across
+    training seeds 42/43/44: 4/5, 5/5, 5/5 — seed 42's single miss is one
+    eval rollout that never terminates; the reference CI pins seed 42 too,
+    `test_training_toys_models.py:28-41`)."""
     cfg = PPOConfig(total_iterations=9, **_BASE)
     assert cfg.n_envs * cfg.n_steps * cfg.total_iterations <= 150_000
     state, hist = train(make("acrobot"), cfg, key=jax.random.PRNGKey(42))
@@ -60,14 +62,15 @@ def test_ppo_solves_acrobot():
     assert hist[-1]["episode_length_mean"] < 0.6 * hist[0]["episode_length_mean"]
     lens, terminated = _greedy_lengths("acrobot", state, cfg)
     n_solved = sum(1 for ln, te in zip(lens, terminated) if te and ln < 500)
-    assert n_solved >= 3, (lens, terminated)
+    assert n_solved >= 4, (lens, terminated)
 
 
 @pytest.mark.slow
 def test_ppo_solves_cartpole():
     """Cartpole balance within 144k steps: greedy episodes last the bulk of
-    the 500-step horizon (measured at seed 42: lengths [309, 267, 500, 500,
-    288], mean 373, train eplen 42 -> 414)."""
+    the 500-step horizon (round-5 record: seed 42 mean 372.8 w/ two full
+    500s; seed 43 252.6; seed 44 500.0 all-perfect — gate pinned at the
+    reference CI's seed 42)."""
     cfg = PPOConfig(total_iterations=9, **_BASE)
     assert cfg.n_envs * cfg.n_steps * cfg.total_iterations <= 150_000
     state, hist = train(make("cartpole"), cfg, key=jax.random.PRNGKey(42))
