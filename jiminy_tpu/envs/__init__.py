@@ -8,6 +8,7 @@ usable functionally (reset/step pure functions) for vmap/shard_map rollouts.
 from jiminy_tpu.envs.toys import AcrobotEnv, CartPoleEnv, PendulumEnv
 from jiminy_tpu.envs.ant import AntEnv
 from jiminy_tpu.envs.anymal import ANYmalEnv, ANYmalPDControlEnv
+from jiminy_tpu.envs.locomotion import WalkerEnv
 from jiminy_tpu.envs.bipeds import (
     AtlasEnv,
     AtlasPDControlEnv,
@@ -37,6 +38,18 @@ _REGISTRY = {
 }
 
 
+# Reference class names (migration aliases)
+WalkerJiminyEnv = WalkerEnv
+CartPoleJiminyEnv = CartPoleEnv
+AcrobotJiminyEnv = AcrobotEnv
+AntJiminyEnv = AntEnv
+ANYmalJiminyEnv = ANYmalEnv
+CassieJiminyEnv = CassieEnv
+DigitJiminyEnv = DigitEnv
+AtlasJiminyEnv = AtlasEnv
+AtlasReducedJiminyEnv = AtlasReducedEnv
+
+
 def register(name, ctor):
     _REGISTRY[name] = ctor
 
@@ -50,6 +63,8 @@ def make(name: str, **kwargs):
 
 
 __all__ = [
+    "WalkerEnv",
+    "WalkerJiminyEnv",
     "CartPoleEnv",
     "AcrobotEnv",
     "PendulumEnv",

@@ -7,22 +7,29 @@ physics loop (`interfaces.py:280-372`) becomes plain function composition, so a
 whole pipeline env steps thousands of instances per chip under one `jit`.
 """
 
-from jiminy_tpu.gym.base import BaseEnv, EnvState
+from jiminy_tpu.gym.base import AutoResetWrapper, BaseEnv, EnvState
 from jiminy_tpu.gym.blocks import (
     BodyObserver,
+    DeformationEstimator,
     MahonyFilter,
     MotorSafetyLimit,
     PDAdapter,
     PDController,
+    QuantityObserver,
 )
+from jiminy_tpu.gym.gym_adapter import GymnasiumEnv
 from jiminy_tpu.gym.pipeline import (
     ComposedEnv,
     ControlledEnv,
     ObservedEnv,
+    _Wrapper,
     build_pipeline,
     load_pipeline,
 )
 from jiminy_tpu.gym.wrappers import (
+    AdaptLayoutObservation,
+    BaseTransformAction,
+    BaseTransformObservation,
     FilterObservation,
     FlattenAction,
     FlattenObservation,
@@ -33,9 +40,31 @@ from jiminy_tpu.gym.wrappers import (
     StackObservation,
 )
 
+# Reference class names (migration aliases — `docs/porting_from_jiminy.md`):
+# a gym_jiminy user should find every public name they know.
+BaseJiminyEnv = BaseEnv
+BasePipelineWrapper = _Wrapper
+ComposedJiminyEnv = ComposedEnv
+ControlledJiminyEnv = ControlledEnv
+ObservedJiminyEnv = ObservedEnv
+InterfaceJiminyEnv = BaseEnv
+
 __all__ = [
+    "AutoResetWrapper",
     "BaseEnv",
+    "BaseJiminyEnv",
+    "BasePipelineWrapper",
+    "BaseTransformAction",
+    "BaseTransformObservation",
+    "GymnasiumEnv",
     "EnvState",
+    "DeformationEstimator",
+    "QuantityObserver",
+    "AdaptLayoutObservation",
+    "ComposedJiminyEnv",
+    "ControlledJiminyEnv",
+    "ObservedJiminyEnv",
+    "InterfaceJiminyEnv",
     "PDController",
     "PDAdapter",
     "MahonyFilter",

@@ -255,3 +255,26 @@ class AdaptLayoutObservation(_Wrapper):
     def step(self, state, action):
         state, _, r, te, tr, info = self.env.step(state, action)
         return state, self.observe(state), r, te, tr, info
+
+
+class BaseTransformObservation(_Wrapper):
+    """Base class for custom observation transforms: override `transform`
+    (reference `BaseTransformObservation`, `bases/pipeline.py:1250` — the
+    functional form needs no pre-allocated buffers)."""
+
+    def transform(self, obs):
+        raise NotImplementedError
+
+    def observe(self, state):
+        return self.transform(self.env.observe(state))
+
+
+class BaseTransformAction(_Wrapper):
+    """Base class for custom action transforms: override `transform`
+    (reference `BaseTransformAction`, `bases/pipeline.py:1354`)."""
+
+    def transform(self, action):
+        raise NotImplementedError
+
+    def step(self, state, action):
+        return self.env.step(state, self.transform(action))

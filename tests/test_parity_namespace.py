@@ -68,6 +68,69 @@ def test_compositions_namespace_parity():
     )
 
 
+def test_gym_layer_namespace_parity():
+    """Every public class of the reference's bases/blocks/wrappers/envs
+    modules has a named counterpart reachable from `jiminy_tpu.gym` /
+    `jiminy_tpu.envs` / `jiminy_tpu.quantities` (migration aliases included),
+    or an explicitly-justified design mapping below."""
+    import jiminy_tpu.envs as jt_envs
+    import jiminy_tpu.gym as jt_gym
+
+    # Reference name -> (namespace, attr). Entries document redesigns:
+    # - duck-typed blocks replace the reference's Interface/Base block CRTP
+    # - pure-functional quantities replace the shared-cache state machine
+    # - plain dicts replace the TypedDict pipeline-config helper classes
+    mapping = {
+        "InterfaceBlock": (jt_gym, "PDController"),
+        "BaseObserverBlock": (jt_gym, "MahonyFilter"),
+        "BaseControllerBlock": (jt_gym, "PDController"),
+        "AbstractReward": (jt_compositions, "QuantityReward"),
+        "MixtureReward": (jt_compositions, "AdditiveMixtureReward"),
+        "AbstractTerminationCondition": (jt_compositions, "QuantityTermination"),
+        "EpisodeState": (jt_gym, "EnvState"),
+        "partial_hashable": None,  # functools helper, nothing to mirror
+        "EngineObsType": (jt_gym, "EnvState"),
+        "InterfaceObserver": (jt_gym, "ObservedEnv"),
+        "InterfaceController": (jt_gym, "ControlledEnv"),
+        "WeakMutableCollection": None,  # shared-cache plumbing (XLA CSE)
+        "QuantityStateMachine": None,
+        "SharedCache": None,
+        "InterfaceQuantity": (jt_quantities, "Quantity"),
+        "AbstractQuantity": (jt_quantities, "Quantity"),
+        "StateQuantity": (jt_quantities, "Quantity"),
+        "QuantityEvalMode": (jt_quantities, "ReferenceQuantity"),
+        "DatasetTrajectoryQuantity": (jt_quantities, "TrajectoryDataset"),
+        "RandomDistribution": None,  # host-side gym.spaces sampling helper
+        "CompositionConfig": None,  # TypedDicts: pipeline TOML uses dicts
+        "TrajectoryDatabaseConfig": None,
+        "EnvConfig": None,
+        "BlockConfig": None,
+        "WrapperConfig": None,
+        "LayerConfig": None,
+    }
+    missing = []
+    for relpath in [
+        "bases/blocks.py", "bases/compositions.py", "bases/interfaces.py",
+        "bases/pipeline.py", "bases/quantities.py",
+        "blocks/deformation_estimator.py", "blocks/quantity_observer.py",
+        "wrappers/observation_layout.py",
+        "envs/generic.py", "envs/locomotion.py",
+        "utils/misc.py", "utils/pipeline.py",
+    ]:
+        for name in _ref_public_classes(relpath):
+            if name in mapping:
+                entry = mapping[name]
+                if entry is not None and not hasattr(entry[0], entry[1]):
+                    missing.append(f"{relpath}:{name} (broken mapping)")
+                continue
+            if not any(
+                hasattr(nsp, name)
+                for nsp in (jt_gym, jt_envs, jt_quantities, jt_compositions)
+            ):
+                missing.append(f"{relpath}:{name}")
+    assert not missing, f"reference classes without a counterpart: {missing}"
+
+
 def test_enum_modes_parity():
     # EnergyGenerationMode members (reference `quantities/generic.py:1694`)
     for member in ("CHARGE", "LOST_EACH", "LOST_GLOBAL", "PENALIZE"):
