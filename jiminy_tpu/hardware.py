@@ -169,3 +169,34 @@ def generate_default_hardware_description_file(
     with open(output_path, "w") as f:
         f.write(text)
     return output_path
+
+
+def BaseJiminyRobot(
+    urdf_path: str,
+    hardware_path: str = None,
+    has_freeflyer: bool = False,
+    **robot_kwargs,
+):
+    """Reference-name constructor (reference `BaseJiminyRobot`,
+    `jiminy_py/robot.py:850`): build a `Robot` from a URDF plus its
+    `*_hardware.toml` (auto-discovered next to the URDF when not given),
+    exactly like `Simulator.build` does internally."""
+    import os
+
+    from jiminy_tpu.engine.robot import Robot
+
+    if hardware_path is None:
+        guess = os.path.splitext(urdf_path)[0] + "_hardware.toml"
+        hardware_path = guess if os.path.exists(guess) else None
+    hw = load_hardware_description_file(hardware_path) if hardware_path else {}
+    return Robot.build(
+        urdf_path,
+        has_freeflyer=hw.get("has_freeflyer", has_freeflyer),
+        motors=hw.get("motors", ()),
+        sensors=hw.get("sensors", None),
+        contact_frames=hw.get("contact_frames", ()),
+        collision_bodies=hw.get("collision_bodies", ()),
+        flexibility=hw.get("flexibility", ()),
+        loop_constraints=hw.get("loop_constraints", ()),
+        **robot_kwargs,
+    )

@@ -492,6 +492,52 @@ def rpy_to_mat(rpy: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def mat_to_rpy(r: jnp.ndarray) -> jnp.ndarray:
+    """Rotation matrix -> (roll, pitch, yaw), URDF convention R = Rz Ry Rx
+    (role of `pinocchio::rpy::matrixToRpy`); pitch in [-pi/2, pi/2]."""
+    roll = jnp.arctan2(r[..., 2, 1], r[..., 2, 2])
+    pitch = jnp.arcsin(jnp.clip(-r[..., 2, 0], -1.0, 1.0))
+    yaw = jnp.arctan2(r[..., 1, 0], r[..., 0, 0])
+    return jnp.stack([roll, pitch, yaw], axis=-1)
+
+
+def rpy_jacobian(rpy: jnp.ndarray) -> jnp.ndarray:
+    """J(rpy) mapping RPY rates to the LOCAL angular velocity:
+    omega_local = J @ d(rpy)/dt (role of `pinocchio::rpy::computeRpyJacobian`,
+    LOCAL convention)."""
+    r, p = rpy[..., 0], rpy[..., 1]
+    cr, sr = jnp.cos(r), jnp.sin(r)
+    cp, sp = jnp.cos(p), jnp.sin(p)
+    zero, one = jnp.zeros_like(r), jnp.ones_like(r)
+    return jnp.stack(
+        [
+            jnp.stack([one, zero, -sp], axis=-1),
+            jnp.stack([zero, cr, cp * sr], axis=-1),
+            jnp.stack([zero, -sr, cp * cr], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def rpy_jacobian_inverse(rpy: jnp.ndarray) -> jnp.ndarray:
+    """J(rpy)^-1: LOCAL angular velocity -> RPY rates (role of
+    `pinocchio::rpy::computeRpyJacobianInverse`); singular at |pitch|=pi/2."""
+    r, p = rpy[..., 0], rpy[..., 1]
+    cr, sr = jnp.cos(r), jnp.sin(r)
+    cp = jnp.cos(p)
+    tp = jnp.tan(p)
+    zero, one = jnp.zeros_like(r), jnp.ones_like(r)
+    inv_cp = 1.0 / cp
+    return jnp.stack(
+        [
+            jnp.stack([one, sr * tp, cr * tp], axis=-1),
+            jnp.stack([zero, cr, -sr], axis=-1),
+            jnp.stack([zero, sr * inv_cp, cr * inv_cp], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
 def quat_average(quats: jnp.ndarray, axis: int = -2) -> jnp.ndarray:
     """Average of unit quaternions via the dominant eigenvector of the outer-
     product accumulator (Markley et al. 2007; reference `quat_average`,

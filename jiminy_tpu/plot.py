@@ -268,3 +268,10 @@ def plot_log(log: LogData, save_prefix: Optional[str] = None) -> TabbedFigure:
     if save_prefix:
         fig.save_all(save_prefix)
     return fig
+
+
+def plot_log_interactive(log: LogData, **kwargs) -> TabbedFigure:
+    """Open the standard telemetry tabs in the interactive tabbed window
+    (reference `plot.py plot_log_interactive`); under a headless backend this
+    is equivalent to `plot_log` without the PNG export."""
+    return TabbedFigure(log, **kwargs)

@@ -11,7 +11,11 @@ for exact reconstruction (`build_robot_from_log`).
 from jiminy_tpu.telemetry.recorder import LogData, TelemetryRecorder, record_rollout
 from jiminy_tpu.telemetry.log import (
     build_robot_from_log,
+    build_robots_from_log,
+    extract_trajectories_from_log,
     extract_trajectory_from_log,
+    extract_variables_from_log,
+    update_sensor_measurements_from_log,
     read_hdf5,
     read_log,
     write_hdf5,
@@ -28,7 +32,11 @@ __all__ = [
     "write_hdf5",
     "read_hdf5",
     "build_robot_from_log",
+    "build_robots_from_log",
+    "extract_trajectories_from_log",
     "extract_trajectory_from_log",
+    "extract_variables_from_log",
+    "update_sensor_measurements_from_log",
     "Trajectory",
     "State",
 ]

@@ -144,3 +144,66 @@ def extract_trajectory_from_log(log: LogData):
         axis=-1,
     )
     return Trajectory(times=t, qs=q, vs=v, robot=robot)
+
+
+def extract_variables_from_log(log: LogData, fieldnames, namespace: str = ""):
+    """Columns for the given fieldnames, optionally under a namespace prefix
+    (reference `log.py extract_variables_from_log`): returns a list of (T,)
+    arrays in fieldname order; raises KeyError listing any missing name."""
+    full = [f"{namespace}.{n}" if namespace else n for n in fieldnames]
+    missing = [n for n in full if n not in log.variables]
+    if missing:
+        raise KeyError(f"variables not in log: {missing}")
+    return [log.variables[n] for n in full]
+
+
+def build_robots_from_log(log: LogData):
+    """All robots embedded in a log (reference `log.py build_robots_from_log`).
+
+    Multi-robot simulations run on ONE merged-forest engine here
+    (`engine/merge.py`), so a log embeds a single merged robot; per-robot
+    telemetry namespaces remain addressable by name."""
+    return [build_robot_from_log(log)]
+
+
+def extract_trajectories_from_log(log: LogData):
+    """{robot name: Trajectory} for every robot in the log (reference
+    `log.py extract_trajectories_from_log`)."""
+    traj = extract_trajectory_from_log(log)
+    return {traj.robot.name: traj}
+
+
+def update_sensor_measurements_from_log(log: LogData, robot=None):
+    """Closure `t -> {sensor_type: (n, fields) array}` replaying the recorded
+    sensor measurements with zero-order hold (role of the reference's
+    `update_sensor_measurements_from_log`, `log.py:298` — there it patches the
+    viewer's sensor refresh during replay; here the returned function serves
+    the same per-time lookup for replay/plot consumers)."""
+    import re
+
+    robot = robot or build_robot_from_log(log)
+    t_grid = log.time
+    groups: Dict[str, list] = {}
+    pat = re.compile(rf"^{re.escape(robot.name)}\.(\w+)\.(\d+)\.(\w+)$")
+    for name in log.variables:
+        m = pat.match(name)
+        if m:
+            groups.setdefault(m.group(1), []).append(
+                (int(m.group(2)), m.group(3), name)
+            )
+
+    banks = {}
+    for stype, entries in groups.items():
+        n_sensors = max(e[0] for e in entries) + 1
+        fields = sorted({e[1] for e in entries})
+        bank = np.zeros((len(t_grid), n_sensors, len(fields)))
+        for idx, field, name in entries:
+            bank[:, idx, fields.index(field)] = log.variables[name]
+        banks[stype] = bank
+
+    def at(t: float):
+        k = int(np.clip(np.searchsorted(t_grid, t, side="right") - 1, 0,
+                        len(t_grid) - 1))
+        return {stype: bank[k] for stype, bank in banks.items()}
+
+    return at

@@ -45,3 +45,30 @@ def copyto(dst, src):
     to dst's dtypes (the reference mutates numpy buffers in place; pytrees are
     immutable, so this returns the result)."""
     return jax.tree.map(lambda d, s: np.asarray(s, dtype=np.asarray(d).dtype), dst, src)
+
+
+def unflatten_as(structure, leaves):
+    """Rebuild `leaves` into the shape of `structure` (reference
+    `tree.py unflatten_as`)."""
+    return jax.tree.unflatten(jax.tree.structure(structure), list(leaves))
+
+
+def map_structure(fn, *trees):
+    """Alias of `map_` matching the reference name."""
+    return jax.tree.map(fn, *trees)
+
+
+def flatten_up_to(shallow, tree):
+    """Flatten `tree` down to the structure of `shallow` only (reference
+    `tree.py flatten_up_to`): each leaf of `shallow` selects a whole subtree
+    of `tree`."""
+    shallow_def = jax.tree.structure(
+        jax.tree.map(lambda _: 0, shallow)
+    )
+    return shallow_def.flatten_up_to(tree)
+
+
+def deepcopy(tree):
+    """Deep copy of a pytree's array leaves (reference `tree.py deepcopy`)."""
+    return jax.tree.map(lambda x: np.array(x, copy=True) if isinstance(
+        x, np.ndarray) else x, tree)

@@ -417,3 +417,120 @@ def test_urdf_reference_assets():
     assert 15.0 < total_mass < 80.0
     mm = dyn.crba(anymal, anymal.neutral())
     assert np.all(np.linalg.eigvalsh(np.asarray(mm)) > 0)
+
+
+def test_pose_velocity_conversions_vs_scipy():
+    """SE3/XYZRPY/XYZQuat conversion helpers match scipy and invert exactly
+    (reference `jiminy_py/dynamics.py:38-93`, same names)."""
+    import jax.numpy as jnp
+    from scipy.spatial.transform import Rotation as R
+
+    import jiminy_tpu.dynamics as d
+
+    rng = np.random.default_rng(5)
+    xyzrpy = rng.normal(size=(32, 6))
+    xyzrpy[:, 4] = np.clip(xyzrpy[:, 4], -1.4, 1.4)  # away from gimbal lock
+    xq = np.array(d.XYZRPYToXYZQuat(jnp.asarray(xyzrpy)))
+    np.testing.assert_allclose(
+        np.array(d.XYZQuatToXYZRPY(jnp.asarray(xq))), xyzrpy, atol=1e-10
+    )
+    want = R.from_euler("xyz", xyzrpy[:, 3:6]).as_quat()
+    sign = np.sign(np.sum(xq[:, 3:7] * want, axis=-1, keepdims=True))
+    np.testing.assert_allclose(xq[:, 3:7], want * sign, atol=1e-12)
+    # SE3 round trip
+    m = d.XYZRPYToSE3(jnp.asarray(xyzrpy))
+    np.testing.assert_allclose(
+        np.array(d.SE3ToXYZRPY(m)), xyzrpy, atol=1e-10
+    )
+
+    # Velocity conversions: inverse pair + finite-difference oracle
+    dxyzrpy = rng.normal(size=(32, 6))
+    v = np.array(d.velocityXYZRPYToXYZQuat(jnp.asarray(xyzrpy), jnp.asarray(dxyzrpy)))
+    np.testing.assert_allclose(
+        np.array(d.velocityXYZQuatToXYZRPY(jnp.asarray(xq), jnp.asarray(v))),
+        dxyzrpy, atol=1e-9,
+    )
+    eps = 1e-7
+    q2 = np.array(d.XYZRPYToXYZQuat(jnp.asarray(xyzrpy + eps * dxyzrpy)))[:, 3:7]
+    w_fd = np.stack([
+        (R.from_quat(a).inv() * R.from_quat(b)).as_rotvec()
+        for a, b in zip(xq[:, 3:7].copy(), q2.copy())
+    ]) / eps
+    np.testing.assert_allclose(v[:, 3:6], w_fd, rtol=1e-4, atol=1e-6)
+
+
+def test_get_body_world_transform_velocity():
+    import jax
+    import jax.numpy as jnp
+
+    from jiminy_tpu import dynamics as d
+    from jiminy_tpu.envs import make
+
+    env = make("anymal")
+    st, _ = env.reset(jax.random.PRNGKey(0))
+    m = d.get_body_world_transform(env.robot, st.sim.q, "LF_FOOT")
+    assert np.asarray(m.pos).shape == (3,)
+    assert abs(float(np.linalg.det(np.asarray(m.rot))) - 1.0) < 1e-9
+    v6 = d.get_body_world_velocity(env.robot, st.sim.q, st.sim.v, "LF_FOOT")
+    assert np.asarray(v6).shape == (6,)
+    a6 = d.get_body_world_acceleration(
+        env.robot, st.sim.q, st.sim.v, jnp.zeros_like(st.sim.v), "LF_FOOT"
+    )
+    assert np.isfinite(np.asarray(a6)).all()
+
+
+def test_compute_transform_contact_touches_ground():
+    """The correction transform drops the deepest contact point exactly onto
+    the ground (reference `compute_transform_contact`, `dynamics.py:628`)."""
+    import jax
+    import jax.numpy as jnp
+
+    from jiminy_tpu import dynamics as d
+    from jiminy_tpu.envs import make
+    from jiminy_tpu.ops import lie
+    from jiminy_tpu.ops.kinematics import forward_kinematics, frame_placement
+
+    env = make("anymal")
+    st, _ = env.reset(jax.random.PRNGKey(0))
+    # Lift and tilt the robot so contacts are off the ground
+    q = np.array(st.sim.q)
+    q[2] += 0.17
+    q = jnp.asarray(q)
+    m = d.compute_transform_contact(env.robot, q)
+
+    # Apply the transform to the freeflyer and recheck the contact heights
+    base = lie.SE3(lie.quat_to_mat(q[3:7]), q[0:3])
+    newb = lie.se3_mul(m, base)
+    q2 = jnp.concatenate([newb.pos, lie.mat_to_quat(newb.rot), q[7:]])
+    model = env.robot.model
+    kin = forward_kinematics(model, q2)
+    z = [float(frame_placement(model, kin, f).pos[2])
+         for f in env.robot.contact_frame_indices]
+    assert min(z) > -1e-9  # nothing through the ground
+    assert min(z) < 1e-6  # and the deepest point touches
+
+
+def test_compute_efforts_from_fixed_body_supports_weight():
+    """Static robot welded at a foot: the support wrench carries the full
+    weight and gravity torques match plain RNEA (reference
+    `compute_efforts_from_fixed_body`, `dynamics.py:876`)."""
+    import jax
+    import jax.numpy as jnp
+
+    from jiminy_tpu import dynamics as d
+    from jiminy_tpu.envs import make
+
+    env = make("anymal")
+    st, _ = env.reset(jax.random.PRNGKey(0))
+    q = st.sim.q
+    zeros = jnp.zeros_like(st.sim.v)
+    tau, f_sup = d.compute_efforts_from_fixed_body(
+        env.robot, q, zeros, zeros, "LF_FOOT"
+    )
+    total_weight = float(np.sum(np.asarray(env.robot.model.mass)) * 9.81)
+    # Support force magnitude equals the weight (static equilibrium);
+    # spatial force layout is (torque, force)
+    f_lin = np.asarray(f_sup)[3:6]
+    np.testing.assert_allclose(np.linalg.norm(f_lin), total_weight, rtol=1e-9)
+    # Freeflyer effort must vanish: the support force balances gravity
+    np.testing.assert_allclose(np.asarray(tau)[0:6], 0.0, atol=1e-8)

@@ -131,6 +131,54 @@ def test_gym_layer_namespace_parity():
     assert not missing, f"reference classes without a counterpart: {missing}"
 
 
+def test_jiminy_py_namespace_parity():
+    """Every public class/function of the reference's `jiminy_py`
+    simulator/log/dynamics/robot/plot/tree modules has a named counterpart."""
+    import jiminy_tpu
+    import jiminy_tpu.dynamics as jt_dynamics
+    import jiminy_tpu.hardware as jt_hardware
+    import jiminy_tpu.plot as jt_plot
+    import jiminy_tpu.telemetry as jt_telemetry
+    import jiminy_tpu.tree as jt_tree
+    from jiminy_tpu.simulator import Simulator  # noqa: F401
+
+    root = pathlib.Path("/root/reference/python/jiminy_py/src/jiminy_py")
+    mapping = {
+        "Simulator": None,  # checked via the import above
+        "TabData": None,  # per-tab dataclass of the matplotlib internals
+        "interactive_mode": None,  # IPython/display sniffing helper
+        # jiminy_py.tree type-dispatch helpers: jax pytrees dispatch on
+        # registered types, so the issubclass_* predicates have no role
+        "issubclass_mapping": None,
+        "issubclass_sequence": None,
+        "issubclass_hashable": None,
+        "flatten_with_path_up_to": None,
+        # in-place numpy double-buffer helpers of the reference State
+        "State": (jt_telemetry, "Trajectory"),
+        "Trajectory": (jt_telemetry, "Trajectory"),
+        "TrajectoryTimeMode": None,
+        "unflatten": (jt_tree, "unflatten"),
+    }
+    namespaces = (jt_telemetry, jt_dynamics, jt_hardware, jt_plot, jt_tree)
+    missing = []
+    for relpath in ["log.py", "dynamics.py", "robot.py", "plot.py", "tree.py"]:
+        tree_ast = ast.parse((root / relpath).read_text())
+        names = [
+            n.name for n in tree_ast.body
+            if isinstance(n, (ast.ClassDef, ast.FunctionDef))
+            and not n.name.startswith("_")
+        ]
+        for name in names:
+            if name in mapping:
+                entry = mapping[name]
+                if entry is not None and not hasattr(entry[0], entry[1]):
+                    missing.append(f"{relpath}:{name} (broken mapping)")
+                continue
+            if not any(hasattr(nsp, name) for nsp in namespaces):
+                missing.append(f"{relpath}:{name}")
+    assert not missing, f"reference API without a counterpart: {missing}"
+
+
 def test_enum_modes_parity():
     # EnergyGenerationMode members (reference `quantities/generic.py:1694`)
     for member in ("CHARGE", "LOST_EACH", "LOST_GLOBAL", "PENALIZE"):

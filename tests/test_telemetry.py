@@ -147,3 +147,50 @@ def test_tabbed_figure_interactive_api(tmp_path):
     paths = fig.save_all(str(tmp_path / "fig"))
     assert all(__import__("os").path.exists(p) for p in paths)
     fig.close()
+
+
+def test_log_extraction_helpers(tmp_path):
+    """extract_variables / build_robots / extract_trajectories /
+    update_sensor_measurements_from_log (reference `jiminy_py/log.py` names)."""
+    import jax.numpy as jnp
+
+    from jiminy_tpu.envs import make
+    from jiminy_tpu.simulator import Simulator
+    from jiminy_tpu.telemetry import (
+        build_robots_from_log,
+        extract_trajectories_from_log,
+        extract_variables_from_log,
+        update_sensor_measurements_from_log,
+    )
+
+    import glob
+    import os
+
+    urdf = sorted(glob.glob(os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "jiminy_tpu", "data", "toys_models", "**", "*.urdf"), recursive=True))[0]
+    sim = Simulator.build(urdf)
+    log = sim.simulate(0.2, jnp.zeros(sim.engine.robot.model.nq) + 0.3)
+
+    name = sim.engine.robot.name
+    cols = extract_variables_from_log(
+        log, ["currentPositionQ0"], namespace=name
+    )
+    assert len(cols) == 1 and cols[0].shape == log.time.shape
+    try:
+        extract_variables_from_log(log, ["nope"])
+        raise AssertionError("expected KeyError")
+    except KeyError:
+        pass
+
+    robots = build_robots_from_log(log)
+    assert len(robots) == 1 and robots[0].model.nq == sim.engine.robot.model.nq
+    trajs = extract_trajectories_from_log(log)
+    assert list(trajs) == [name]
+
+    sensors_at = update_sensor_measurements_from_log(log)
+    mid = float(log.time[len(log.time) // 2])
+    snap = sensors_at(mid)
+    assert isinstance(snap, dict)
+    for stype, arr in snap.items():
+        assert arr.ndim == 2
