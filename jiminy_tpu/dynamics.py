@@ -189,18 +189,15 @@ def get_body_world_acceleration(robot, q, v, a, body_name: str) -> jnp.ndarray:
     fidx = model.frame_index(body_name)
     fpl = frame_placement(model, kin, fidx)
     parent = model.frame_parents[fidx]
+    if parent < 0:  # world-attached frame (same guard as frame_velocity_local)
+        return jnp.zeros(q.shape[:-1] + (6,), q.dtype)
     acc = kin.acc[..., parent, :]
     # Translate the parent-joint LOCAL spatial acceleration to the frame
     # origin, world-aligned (same algebra as frame_velocity_world_aligned)
-    rel = lie.se3_inv(
-        lie.SE3(
-            kin.omi.rot[..., parent, :, :], kin.omi.pos[..., parent, :]
-        )
-    )
+    rot_t = jnp.swapaxes(fpl.rot, -1, -2)
     acc_f = lie.motion_act(
-        lie.SE3(jnp.swapaxes(fpl.rot, -1, -2) @ kin.omi.rot[..., parent, :, :],
-                lie.mv(jnp.swapaxes(fpl.rot, -1, -2),
-                       kin.omi.pos[..., parent, :] - fpl.pos)),
+        lie.SE3(lie.mm(rot_t, kin.omi.rot[..., parent, :, :]),
+                lie.mv(rot_t, kin.omi.pos[..., parent, :] - fpl.pos)),
         acc,
     )
     rot = fpl.rot

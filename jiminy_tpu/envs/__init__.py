@@ -65,6 +65,14 @@ def make(name: str, **kwargs):
 __all__ = [
     "WalkerEnv",
     "WalkerJiminyEnv",
+    "CartPoleJiminyEnv",
+    "AcrobotJiminyEnv",
+    "AntJiminyEnv",
+    "ANYmalJiminyEnv",
+    "CassieJiminyEnv",
+    "DigitJiminyEnv",
+    "AtlasJiminyEnv",
+    "AtlasReducedJiminyEnv",
     "CartPoleEnv",
     "AcrobotEnv",
     "PendulumEnv",

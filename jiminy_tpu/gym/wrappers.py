@@ -268,6 +268,16 @@ class BaseTransformObservation(_Wrapper):
     def observe(self, state):
         return self.transform(self.env.observe(state))
 
+    def reset(self, key):
+        state, _ = self.env.reset(key)
+        return state, self.observe(state)
+
+    def step(self, state, action):
+        state, _, reward, terminated, truncated, info = self.env.step(
+            state, action
+        )
+        return state, self.observe(state), reward, terminated, truncated, info
+
 
 class BaseTransformAction(_Wrapper):
     """Base class for custom action transforms: override `transform`

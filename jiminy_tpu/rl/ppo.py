@@ -3,7 +3,9 @@
 Re-design of `gym_jiminy.rllib.ppo` (reference `rllib/ppo.py:207-325`): clipped
 surrogate PPO plus
 
-- CAPS temporal smoothness  E‖π(s_t) − π(s_{t+1})‖²   (`ppo.py` caps_temporal_reg)
+- CAPS temporal smoothness  E|π(s_t) − π(s_{t+1})| (per-dim L1 mean, the
+  reference's `action_delta` form, `ppo.py:648-655`)   (caps_temporal_reg)
+- temporal barrier          exp wall once that delta exceeds a threshold
 - CAPS spatial smoothness   E‖π(s) − π(s+ε)‖², ε∼N(0,σ) (caps_spatial_reg)
 - CAPS global regularizer   E‖π(s)‖²                   (caps_global_reg)
 - L2 weight decay           (l2_reg)
@@ -542,9 +544,10 @@ def train(
     )
     state = init_fn(key)
     step = jax.jit(train_step)
-    # Multi-controller: every process runs the same program, but host-side
-    # logging/checkpointing belongs to process 0 only (the reference's Ray
-    # driver role).
+    # Multi-controller: every process runs the same program; metrics logging
+    # belongs to process 0 only (the reference's Ray driver role), while
+    # checkpoint saves stay COLLECTIVE — Orbax requires every process to
+    # participate when arrays are sharded across hosts.
     is_primary = jax.process_index() == 0
     metrics_file = None
     if log_dir is not None and is_primary:

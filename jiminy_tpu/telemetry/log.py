@@ -179,31 +179,32 @@ def update_sensor_measurements_from_log(log: LogData, robot=None):
     `update_sensor_measurements_from_log`, `log.py:298` — there it patches the
     viewer's sensor refresh during replay; here the returned function serves
     the same per-time lookup for replay/plot consumers)."""
-    import re
-
     robot = robot or build_robot_from_log(log)
     t_grid = log.time
-    groups: Dict[str, list] = {}
-    pat = re.compile(rf"^{re.escape(robot.name)}\.(\w+)\.(\d+)\.(\w+)$")
-    for name in log.variables:
-        m = pat.match(name)
-        if m:
-            groups.setdefault(m.group(1), []).append(
-                (int(m.group(2)), m.group(3), name)
-            )
-
-    banks = {}
-    for stype, entries in groups.items():
-        n_sensors = max(e[0] for e in entries) + 1
-        fields = sorted({e[1] for e in entries})
-        bank = np.zeros((len(t_grid), n_sensors, len(fields)))
-        for idx, field, name in entries:
-            bank[:, idx, fields.index(field)] = log.variables[name]
-        banks[stype] = bank
+    # Columns are registered as "<robot>.<type>.<sensor name>.<field>"
+    # (recorder.py: f"{prefix}.{gname}.{sname}.{fn}").  The log's dict order
+    # is alphabetical (jax pytrees sort dict keys through the scan), so the
+    # canonical sensor/field layout comes from the robot's sensor suite —
+    # exactly the measurement-array layout of `SimState.measurements`.
+    banks, layout = {}, {}
+    for gname, group in robot.sensors.groups():
+        snames, fields = list(group.names), list(group.fieldnames)
+        bank = np.zeros((len(t_grid), len(snames), len(fields)))
+        found = False
+        for i, sname in enumerate(snames):
+            for j, field in enumerate(fields):
+                col = log.variables.get(f"{robot.name}.{gname}.{sname}.{field}")
+                if col is not None:
+                    bank[:, i, j] = col
+                    found = True
+        if found:
+            banks[gname] = bank
+            layout[gname] = {"sensors": snames, "fields": fields}
 
     def at(t: float):
         k = int(np.clip(np.searchsorted(t_grid, t, side="right") - 1, 0,
                         len(t_grid) - 1))
         return {stype: bank[k] for stype, bank in banks.items()}
 
+    at.layout = layout  # column semantics for consumers
     return at

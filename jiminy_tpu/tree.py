@@ -62,10 +62,7 @@ def flatten_up_to(shallow, tree):
     """Flatten `tree` down to the structure of `shallow` only (reference
     `tree.py flatten_up_to`): each leaf of `shallow` selects a whole subtree
     of `tree`."""
-    shallow_def = jax.tree.structure(
-        jax.tree.map(lambda _: 0, shallow)
-    )
-    return shallow_def.flatten_up_to(tree)
+    return jax.tree.structure(shallow).flatten_up_to(tree)
 
 
 def deepcopy(tree):

@@ -181,3 +181,45 @@ def test_flatten_action():
     st, _ = wrapped.reset(jax.random.PRNGKey(0))
     st, obs, r, te, tr, _ = jax.jit(wrapped.step)(st, jnp.array([0.3]))
     assert obs.shape == (4,)
+
+
+def test_base_transform_observation_and_action():
+    """Custom transform base classes apply on reset AND step (reference
+    `BaseTransformObservation/Action`, `bases/pipeline.py:1250+`)."""
+    import jax
+    import jax.numpy as jnp
+
+    from jiminy_tpu.envs import make
+    from jiminy_tpu.gym import BaseTransformAction, BaseTransformObservation
+    from jiminy_tpu.gym.wrappers import flatten_pytree
+
+    class Negate(BaseTransformObservation):
+        def transform(self, obs):
+            return jax.tree.map(lambda x: -x, obs)
+
+    env = make("pendulum")
+    wrapped = Negate(env)
+    st, obs_w = wrapped.reset(jax.random.PRNGKey(0))
+    obs_raw = env.observe(st)
+    np.testing.assert_allclose(
+        np.asarray(flatten_pytree(obs_w)),
+        -np.asarray(flatten_pytree(obs_raw)), atol=0,
+    )
+    st2, obs_w2, *_ = wrapped.step(st, jnp.asarray([0.1]))
+    np.testing.assert_allclose(
+        np.asarray(flatten_pytree(obs_w2)),
+        -np.asarray(flatten_pytree(env.observe(st2))), atol=0,
+    )
+
+    class Half(BaseTransformAction):
+        def transform(self, action):
+            return 0.5 * action
+
+    henv = Half(make("pendulum"))
+    sth, _ = henv.reset(jax.random.PRNGKey(0))
+    a = jnp.asarray([0.8])
+    st_half, *_ = henv.step(sth, a)
+    st_direct, *_ = henv.env.step(sth, 0.5 * a)
+    np.testing.assert_allclose(
+        np.asarray(st_half.sim.q), np.asarray(st_direct.sim.q), atol=0
+    )

@@ -194,3 +194,41 @@ def test_log_extraction_helpers(tmp_path):
     assert isinstance(snap, dict)
     for stype, arr in snap.items():
         assert arr.ndim == 2
+
+
+def test_update_sensor_measurements_from_log_real_sensors(tmp_path):
+    """Sensor replay on a robot that actually has sensors: column layout
+    follows the recorder's canonical sensor/field order and values match the
+    recorded columns (reference `update_sensor_measurements_from_log`,
+    `log.py:298`)."""
+    import glob
+    import os
+
+    import jax.numpy as jnp
+
+    from jiminy_tpu.simulator import Simulator
+    from jiminy_tpu.telemetry import update_sensor_measurements_from_log
+
+    urdf = sorted(glob.glob(os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "jiminy_tpu", "data", "quadrupedal_robots", "**", "*.urdf"),
+        recursive=True))[0]
+    sim = Simulator.build(urdf, has_freeflyer=True)
+    robot = sim.engine.robot
+    assert robot.sensors.groups, "anymal hardware TOML must declare sensors"
+    q0 = robot.model.neutral()
+    q0 = jnp.asarray(q0).at[2].add(0.6)
+    log = sim.simulate(0.1, q0)
+
+    at = update_sensor_measurements_from_log(log)
+    assert at.layout, "sensor banks must not be empty on a sensored robot"
+    snap = at(float(log.time[-1]))
+    for stype, arr in snap.items():
+        lay = at.layout[stype]
+        assert arr.shape == (len(lay["sensors"]), len(lay["fields"]))
+    # Spot-check one recorded column against the bank lookup
+    stype = next(iter(at.layout))
+    sname = at.layout[stype]["sensors"][0]
+    field = at.layout[stype]["fields"][0]
+    col = log.variables[f"{robot.name}.{stype}.{sname}.{field}"]
+    np.testing.assert_allclose(snap[stype][0, 0], col[-1], atol=1e-12)
